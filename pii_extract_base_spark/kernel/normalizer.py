@@ -1,0 +1,17 @@
+"""Text normalization (parity: reference helper/normalizer.py:6-21)."""
+
+from .defs import LANG_ANY
+
+
+def normalize(text: str, lang: str = LANG_ANY,
+              whitespace: bool = False, lowercase: bool = False) -> str:
+    """Whitespace-collapse and/or lowercase a string.
+
+    ``lang`` is accepted but unused, matching the reference signature
+    (helper/normalizer.py:7 "CURRENTLY UNUSED").
+    """
+    if whitespace:
+        text = " ".join(text.split())
+    if lowercase:
+        text = text.lower()
+    return text
