@@ -1,0 +1,157 @@
+"""Fused language-ID + perplexity scoring kernel (north-star N1+N2).
+
+fastText-STYLE langid: hashed char n-gram (1-3) bag → per-language
+linear profile score → softmax confidence. KenLM-STYLE perplexity:
+word-unigram LM with a char-bigram backoff for OOV words (Kneser-Ney-lite
+interpolation), log2 domain.
+
+Both share ONE tokenize + n-gram hash pass per text (BASELINE.json
+north_star: "language ID and perplexity share a single batched n-gram
+hash + score pass"). Pure Python + no Spark imports: the same module is
+the oracle AND the executor kernel; the Spark stage wraps `score_batch`
+in an Arrow pandas UDF (operators/score.py).
+
+Models are built deterministically at import from the embedded seed
+vocabulary (functions/langdata.py) — no RNG, no external files.
+"""
+
+import math
+from typing import Dict, List, Tuple
+from zlib import crc32
+
+from .langdata import SEED_WORDS, LANGS
+
+N_BUCKETS = 1 << 16
+MAX_SCORE_CHARS = 2000      # score on a prefix; plenty for langid+ppl
+UND = "und"                 # undetermined language
+
+
+def _ngram_hashes(text: str, nmin: int = 1, nmax: int = 3) -> List[int]:
+    """Hashed char n-grams of a (lowercased, ws-normalized) string."""
+    out = []
+    L = len(text)
+    for n in range(nmin, nmax + 1):
+        for i in range(L - n + 1):
+            out.append(crc32(text[i:i + n].encode("utf-8")) % N_BUCKETS)
+    return out
+
+
+def _build_models():
+    """Per-language n-gram profiles + word-unigram/char-bigram LMs."""
+    profiles: Dict[str, Dict[int, float]] = {}
+    unigram: Dict[str, Dict[str, float]] = {}
+    bigram: Dict[str, Dict[str, float]] = {}
+    for lang, words in SEED_WORDS.items():
+        # langid profile: weighted char n-grams (Zipf-ish rank weights,
+        # matching how the synthetic corpus samples the same vocabulary)
+        prof: Dict[int, float] = {}
+        uni: Dict[str, float] = {}
+        big: Dict[str, float] = {}
+        total_w = 0.0
+        for rank, w in enumerate(words):
+            weight = 1.0 / (rank + 10.0)
+            total_w += weight
+            token = f" {w} "
+            for h in _ngram_hashes(token):
+                prof[h] = prof.get(h, 0.0) + weight
+            uni[w] = uni.get(w, 0.0) + weight
+            for i in range(len(token) - 1):
+                bg = token[i:i + 2]
+                big[bg] = big.get(bg, 0.0) + weight
+        # L2-normalize profile
+        norm = math.sqrt(sum(v * v for v in prof.values())) or 1.0
+        profiles[lang] = {h: v / norm for h, v in prof.items()}
+        # normalize LMs
+        unigram[lang] = {w: v / total_w for w, v in uni.items()}
+        btotal = sum(big.values()) or 1.0
+        bigram[lang] = {b: v / btotal for b, v in big.items()}
+    return profiles, unigram, bigram
+
+
+_PROFILES, _UNIGRAM, _BIGRAM = _build_models()
+
+_UNK_BIGRAM = 1e-6          # add-k floor for unseen char bigrams
+_BACKOFF_LAMBDA = 0.4       # unigram↔char-backoff interpolation
+_SOFTMAX_T = 20.0           # softmax temperature over cosine scores
+_P_NUM = 2.0 ** -7          # digit-bearing tokens bin to <num> (standard
+                            # LM number binning; keeps ppl independent of
+                            # injected PII digit strings)
+
+
+def _char_logprob(word: str, big: Dict[str, float]) -> float:
+    """Length-normalized log2 prob of a word under the char-bigram model."""
+    token = f" {word} "
+    lp = 0.0
+    n = 0
+    for i in range(len(token) - 1):
+        p = big.get(token[i:i + 2], _UNK_BIGRAM)
+        lp += math.log2(p)
+        n += 1
+    return lp / max(n, 1)
+
+
+def score_text(text: str) -> Tuple[str, float, float]:
+    """One fused pass: (lang_pred, lang_conf, logppl).
+
+    logppl is computed under the PREDICTED language's LM (log2 per-token
+    perplexity); higher = less natural text.
+    """
+    snippet = " ".join(text[:MAX_SCORE_CHARS].lower().split())
+    if not snippet:
+        return UND, 0.0, 99.0
+
+    # --- single n-gram hash pass
+    counts: Dict[int, int] = {}
+    for h in _ngram_hashes(" " + snippet + " "):
+        counts[h] = counts.get(h, 0) + 1
+    norm = math.sqrt(sum(v * v for v in counts.values())) or 1.0
+
+    # --- langid: cosine vs each profile, softmax confidence
+    sims = []
+    for lang in LANGS:
+        prof = _PROFILES[lang]
+        dot = 0.0
+        for h, c in counts.items():
+            p = prof.get(h)
+            if p:
+                dot += p * c
+        sims.append(dot / norm)
+    mx = max(sims)
+    exps = [math.exp(_SOFTMAX_T * (s - mx)) for s in sims]
+    tot = sum(exps)
+    best = max(range(len(LANGS)), key=lambda i: sims[i])
+    lang_pred = LANGS[best]
+    lang_conf = exps[best] / tot
+    if sims[best] <= 0.0:
+        lang_pred, lang_conf = UND, 0.0
+
+    # --- perplexity under the predicted (or en-fallback) LM
+    lm_lang = lang_pred if lang_pred != UND else "en"
+    uni = _UNIGRAM[lm_lang]
+    big = _BIGRAM[lm_lang]
+    words = snippet.split()
+    lp_sum = 0.0
+    for w in words:
+        if any(c.isdigit() for c in w):
+            lp_sum += math.log2(_P_NUM)
+            continue
+        p_uni = uni.get(w, 0.0)
+        lp_char = _char_logprob(w, big)
+        # KN-lite interpolation in prob domain
+        p = (1 - _BACKOFF_LAMBDA) * p_uni + _BACKOFF_LAMBDA * (2.0 ** lp_char)
+        lp_sum += math.log2(max(p, 1e-12))
+    logppl = -lp_sum / max(len(words), 1)
+    return lang_pred, lang_conf, logppl
+
+
+def score_batch(texts) -> Tuple[List[str], List[float], List[float]]:
+    """Batch entry point for the Arrow UDF: iterate texts inside the batch
+    (vectorized at the Arrow-transfer level; compiled-C dict/crc32 loops
+    inside — no per-row Spark UDF, per BASELINE.json input_hint)."""
+    preds, confs, ppls = [], [], []
+    for t in texts:
+        p, c, l = score_text(t or "")
+        preds.append(p)
+        confs.append(c)
+        ppls.append(l)
+    return preds, confs, ppls

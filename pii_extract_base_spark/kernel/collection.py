@@ -110,7 +110,12 @@ def build_task(taskd: Dict, config: Dict = None,
     try:
         odef = taskd["obj"]
         tclass, tobj = odef["class"], odef["task"]
-        base_args = {"task": taskd["info"], "pii": taskd["piid"]}
+        piid = taskd["piid"]
+        # a language-filtered singleton list flattens to its dict, matching
+        # the parse-time flatten (reference gather/parser/parser.py:234-235)
+        if isinstance(piid, list) and len(piid) == 1 and tclass != "piitask":
+            piid = piid[0]
+        base_args = {"task": taskd["info"], "pii": piid}
     except KeyError as e:
         raise InvArgException("invalid final taskd: missing field {}", e)
 

@@ -209,30 +209,24 @@ def builtin_tasklist() -> dict:
                 "pii": {"type": "CREDIT_CARD", "lang": "any",
                         "country": "any"},
             },
-            {
-                "class": "regex",
-                "task": PATTERN_INT_PHONE,
-                "name": "international phone number",
-                "doc": "phone number in international notation",
-                "pii": [
-                    {"type": "PHONE_NUMBER",
-                     "subtype": "international phone number",
-                     "lang": "en", "country": "any",
-                     "context": PHONE_CONTEXT_EN},
-                    {"type": "PHONE_NUMBER",
-                     "subtype": "international phone number",
-                     "lang": "es", "country": "any",
-                     "context": PHONE_CONTEXT_ES},
-                    {"type": "PHONE_NUMBER",
-                     "subtype": "international phone number",
-                     "lang": "fr", "country": "any",
-                     "context": PHONE_CONTEXT_FR},
-                    {"type": "PHONE_NUMBER",
-                     "subtype": "international phone number",
-                     "lang": "de", "country": "any",
-                     "context": PHONE_CONTEXT_DE},
-                ],
-            },
+            # one descriptor per language (regex tasks are single-pii in
+            # the reference too — its folder source emits per-lang files)
+            *[
+                {
+                    "class": "regex",
+                    "task": PATTERN_INT_PHONE,
+                    "name": "international phone number",
+                    "doc": "phone number in international notation",
+                    "pii": {"type": "PHONE_NUMBER",
+                            "subtype": "international phone number",
+                            "lang": lg, "country": "any",
+                            "context": ctx},
+                }
+                for lg, ctx in [("en", PHONE_CONTEXT_EN),
+                                ("es", PHONE_CONTEXT_ES),
+                                ("fr", PHONE_CONTEXT_FR),
+                                ("de", PHONE_CONTEXT_DE)]
+            ],
             {
                 "class": "regex",
                 "task": PATTERN_EMAIL,

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the quality pipeline.
+
+Usage (north-rule contract: spark-submit --py-files):
+
+    cd /root/repo && python -m zipfile -c /tmp/pii_spark.zip pii_extract_base_spark
+    spark-submit --master 'local[32]' --py-files /tmp/pii_spark.zip \
+        scripts/run_pipeline.py --sf-dir /root/testdata/sf0.001 \
+        --output /tmp/pipeline_out
+
+Reads documents.parquet under --sf-dir, synthesizes the pages corpus,
+runs langid→ppl→rules→detect→scrub→keep, writes kept/scrubbed pages and
+the exploded entities table, prints a one-line JSON summary.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--output", default=None, help="output dir (parquet)")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--languages", default="en,es,fr,de")
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    from pii_extract_base_spark.config import get_spark
+    from pii_extract_base_spark.pipeline import QualityPipeline
+    from pii_extract_base_spark.sources.pages import synth_pages
+
+    spark = get_spark(app_name="quality-pipeline", cores=args.cores)
+    t0 = time.time()
+    pages = synth_pages(spark, args.sf_dir)
+    if args.limit is not None:
+        pages = pages.limit(args.limit)
+
+    pipe = QualityPipeline(tuple(args.languages.split(",")))
+    out = pipe(pages)
+
+    if args.output:
+        (out.drop("rules", "entities")
+            .write.mode("overwrite").parquet(f"{args.output}/pages_scored"))
+        pipe_entities = out.selectExpr("url", "explode(entities) as e") \
+            .select("url", "e.*")
+        pipe_entities.write.mode("overwrite") \
+            .parquet(f"{args.output}/entities")
+        written = spark.read.parquet(f"{args.output}/pages_scored")
+        n_total = written.count()
+        n_kept = written.where("keep").count()
+        n_ents = spark.read.parquet(f"{args.output}/entities").count()
+    else:
+        agg = out.selectExpr(
+            "count(*) as n_total",
+            "sum(cast(keep as int)) as n_kept",
+            "sum(n_entities) as n_ents").collect()[0]
+        n_total, n_kept, n_ents = agg.n_total, agg.n_kept, agg.n_ents
+
+    dt = time.time() - t0
+    print(json.dumps({
+        "docs": n_total, "kept": n_kept, "entities": n_ents,
+        "sec": round(dt, 2),
+        "docs_per_sec": round(n_total / dt, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
