@@ -1,38 +1,423 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship quality pipeline on sf0.001.
+`queries()` exposes one entry per implemented operator family
+(SURVEY.md §2 + the training-data ops); `oracle_sql()` gives the
+DuckDB-equivalent SQL for every SQL-expressible query. Column names and
+value types are aligned on both sides (aggregates rounded via exact
+decimal sums so cross-engine doubles are bit-identical).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+sys.path.insert(0, str(Path(__file__).parent))
+
+LANGS = ("en", "es", "fr", "de")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale=2):
+    """Order-independent (exact decimal) sum surfaced as a double."""
+    return F.round(F.sum(col.cast("decimal(30,6)")), scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Full quality pipeline on the sf0.001 pages corpus: keep/drop +
+    entity stats per language."""
+    from pii_extract_base_spark.pipeline import QualityPipeline
+    from pii_extract_base_spark.sources.pages import synth_pages
 
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    out = QualityPipeline(LANGS)(pages)
+    return (out.groupBy("lang", "keep")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_entities").alias("n_entities"),
+                    F.round(F.avg("logppl"), 3).alias("avg_logppl"))
+               .orderBy("lang", "keep"))
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (SURVEY.md §2.4)
+
+def q01_pricing_summary(spark, sf_dir):
+    """Hash aggregate with decimal-exact sums (scan+filter+groupBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(_dec_sum(F.col("l_quantity")).alias("sum_qty"),
+                   _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+                   _dec_sum(disc_price).alias("sum_disc_price"),
+                   F.count("*").alias("count_order"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q02_top_revenue_orders(spark, sf_dir):
+    """Join + aggregate + deterministic top-k (sort/limit)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .groupBy("o_orderkey", "o_orderdate")
+              .agg(_dec_sum(rev).alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+              .limit(10))
+
+
+def q03_nation_revenue(spark, sf_dir):
+    """Multi-join with broadcast dimensions (join strategy control)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+              .groupBy("r_name", "n_name")
+              .agg(_dec_sum(rev).alias("revenue"),
+                   F.count("*").alias("n_lineitems")))
+
+
+def q04_segment_top_customers(spark, sf_dir):
+    """Window function: top-3 spenders per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+                   .agg(_dec_sum(F.col("o_totalprice")).alias("total_spend")))
+    joined = cust.join(spend, cust.c_custkey == spend.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey"))
+    return (joined.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= 3)
+                  .select("c_mktsegment", "c_custkey", "total_spend", "rnk"))
+
+
+def q05_customers_no_orders(spark, sf_dir):
+    """Set op / anti-join: customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+                .select("c_custkey", "c_name"))
+
+
+def q06_order_priority_stats(spark, sf_dir):
+    """Aggregate with exact distinct count."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+                  .agg(F.count("*").alias("n_orders"),
+                       F.countDistinct("o_custkey").alias("n_customers"),
+                       _dec_sum(F.col("o_totalprice")).alias("total_price")))
+
+
+def q07_events_daily(spark, sf_dir):
+    """Time bucketing + aggregate over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   _dec_sum(F.col("value"), 4).alias("sum_value")))
+
+
+def q08_user_sessions(spark, sf_dir):
+    """Sessionization via lag window: gaps > 30 min start new sessions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > 1800),
+        1).otherwise(0)
+    return (ev.withColumn("s", is_start)
+              .groupBy("user_id")
+              .agg(F.sum("s").alias("n_sessions"),
+                   F.count("*").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# text analysis / quality / dedup / similarity (training-data ops)
+
+def q10_token_stats(spark, sf_dir):
+    from pii_extract_base_spark.functions import textstats as ts
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.distinct_token_count("text").alias("n_distinct"),
+        ts.mean_word_len("text").alias("mean_word_len"))
+
+
+def q11_quality_rules(spark, sf_dir):
+    from pii_extract_base_spark.functions.quality import (
+        rules_columns, RULE_NAMES)
+    docs = _t(spark, sf_dir, "documents")
+    cols = rules_columns("text", "lang")
+    return docs.select("doc_id",
+                       *[cols[n].alias(n) for n in RULE_NAMES])
+
+
+def q12_exact_dup_groups(spark, sf_dir):
+    from pii_extract_base_spark.operators.dedup import exact_duplicates
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+def q13_shingle_stats(spark, sf_dir):
+    from pii_extract_base_spark.functions import textstats as ts
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       ts.shingle_count("text", 5).alias("n_shingles"))
+
+
+def q14_knn_cosine_top5(spark, sf_dir):
+    from pii_extract_base_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries, k=5)
+
+
+def q15_lang_source_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")))
+
+
+def q16_minhash_signatures(spark, sf_dir):
+    from pii_extract_base_spark.operators.dedup import minhash_signatures
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_perm=8)
+    return sigs.select("doc_id",
+                       F.array_join("sig", ",").alias("sig_str"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (Python-kernel stages — rows-only driver check)
+
+def q20_pipeline_keep_stats(spark, sf_dir):
+    from pii_extract_base_spark.pipeline import QualityPipeline
+    from pii_extract_base_spark.sources.pages import synth_pages
+    out = QualityPipeline(LANGS)(synth_pages(spark, sf_dir))
+    return (out.groupBy("lang", "keep")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_entities").alias("n_entities")))
+
+
+def q21_pipeline_entities_by_type(spark, sf_dir):
+    from pii_extract_base_spark.pipeline import QualityPipeline
+    from pii_extract_base_spark.sources.pages import synth_pages
+    pipe = QualityPipeline(LANGS)
+    ents = pipe.entities(synth_pages(spark, sf_dir))
+    return (ents.groupBy("type")
+                .agg(F.count("*").alias("n"),
+                     F.countDistinct("url").alias("n_docs")))
+
+
+def q22_lsh_dup_candidates(spark, sf_dir):
+    from pii_extract_base_spark.operators.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, num_perm=8, band_size=2)
+    return ngram_jaccard_pairs(docs, pairs)
+
+
+def q23_simhash(spark, sf_dir):
+    from pii_extract_base_spark.operators.dedup import simhash_fingerprints
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, bits=16)
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_revenue_orders": q02_top_revenue_orders,
+        "q03_nation_revenue": q03_nation_revenue,
+        "q04_segment_top_customers": q04_segment_top_customers,
+        "q05_customers_no_orders": q05_customers_no_orders,
+        "q06_order_priority_stats": q06_order_priority_stats,
+        "q07_events_daily": q07_events_daily,
+        "q08_user_sessions": q08_user_sessions,
+        "q10_token_stats": q10_token_stats,
+        "q11_quality_rules": q11_quality_rules,
+        "q12_exact_dup_groups": q12_exact_dup_groups,
+        "q13_shingle_stats": q13_shingle_stats,
+        "q14_knn_cosine_top5": q14_knn_cosine_top5,
+        "q15_lang_source_stats": q15_lang_source_stats,
+        "q16_minhash_signatures": q16_minhash_signatures,
+        "q20_pipeline_keep_stats": q20_pipeline_keep_stats,
+        "q21_pipeline_entities_by_type": q21_pipeline_entities_by_type,
+        "q22_lsh_dup_candidates": q22_lsh_dup_candidates,
+        "q23_simhash": q23_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pii_extract_base_spark.functions.quality import rules_duckdb_exprs
+
+    words = "list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> w <> '')"
+    shingles5 = (f"(case when len({words}) >= 5 then "
+                 f"list_distinct(list_transform(range(len({words}) - 4), "
+                 f"i -> array_to_string({words}[i+1:i+5], ' '))) "
+                 f"else [] end)")
+    rules = rules_duckdb_exprs("text", "lang")
+    rule_cols = ",\n       ".join(f"{sql} AS {name}"
+                                  for name, sql in rules.items())
+    minhash_sig = ", ".join(
+        f"list_aggregate(list_transform({shingles5}, "
+        f"s -> md5(concat('{i}|', s))), 'min')"
+        for i in range(8))
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(cast(l_quantity as decimal(30,6))), 2)::DOUBLE AS sum_qty,
+                   round(sum(cast(l_extendedprice as decimal(30,6))), 2)::DOUBLE AS sum_base_price,
+                   round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,6))), 2)::DOUBLE AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_top_revenue_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,6))), 2)::DOUBLE AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q03_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(cast(l_extendedprice * (1 - l_discount) as decimal(30,6))), 2)::DOUBLE AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q04_segment_top_customers": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       round(sum(cast(o_totalprice as decimal(30,6))), 2)::DOUBLE AS total_spend
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_mktsegment, c_custkey, total_spend, rnk FROM (
+                SELECT c_mktsegment, c_custkey, total_spend,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY total_spend DESC,
+                                                   c_custkey ASC) AS rnk
+                FROM customer JOIN spend ON c_custkey = o_custkey
+            ) WHERE rnk <= 3
+        """,
+        "q05_customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q06_order_priority_stats": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   round(sum(cast(o_totalprice as decimal(30,6))), 2)::DOUBLE AS total_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q07_events_daily": """
+            SELECT cast(ts as date) AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(cast(value as decimal(30,6))), 4)::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q08_user_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)) > 1800
+                            THEN 1 ELSE 0 END AS s
+                FROM events
+            )
+            SELECT user_id, sum(s) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "q10_token_stats": f"""
+            SELECT doc_id,
+                   len({words}) AS n_tokens,
+                   len(list_distinct({words})) AS n_distinct,
+                   (CASE WHEN len({words}) > 0 THEN
+                        round(list_sum(list_transform({words},
+                              w -> length(w)))::DOUBLE / len({words}), 4)
+                    ELSE 0.0 END) AS mean_word_len
+            FROM documents
+        """,
+        "q11_quality_rules": f"""
+            SELECT doc_id,
+                   {rule_cols}
+            FROM documents
+        """,
+        "q12_exact_dup_groups": """
+            SELECT md5(coalesce(text, '')) AS fp,
+                   count(*) AS n_dups,
+                   min(doc_id) AS representative
+            FROM documents GROUP BY 1
+        """,
+        "q13_shingle_stats": f"""
+            SELECT doc_id, len({shingles5}) AS n_shingles
+            FROM documents
+        """,
+        "q14_knn_cosine_top5": """
+            WITH pairs AS (
+                SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                       round(
+                         list_dot_product(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                                  q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                                  c.embedding::DOUBLE[]))),
+                         6) AS cosine
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+            )
+            SELECT q_id, neighbor_id, rank FROM (
+                SELECT q_id, neighbor_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM pairs
+            ) WHERE rank <= 5
+        """,
+        "q15_lang_source_stats": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "q16_minhash_signatures": f"""
+            SELECT doc_id,
+                   array_to_string([{minhash_sig}], ',') AS sig_str
+            FROM documents
+        """,
+        # q20/q21/q22/q23: Python-kernel or hash-dialect-specific stages —
+        # rows-only driver check (no portable SQL equivalent).
+    }

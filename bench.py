@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline quality pipeline (langid→ppl→rules→detect→scrub→keep)
+over the synthetic pages corpus amplified from $SPARK_GRAFT_SF_DIR's
+documents table, plus a set of representative queries from
+__spark_entry__. Config via env:
+
+  SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local cores (default 32)
+  BENCH_MULTIPLIER     pages per seed doc (default 4 → 20k pages at sf0.1)
+
+The two-parallelism scaling evidence (BASELINE.md: N vs 4N executors →
+local[8] vs local[32]) is produced by scripts/scaling_bench.sh, which
+invokes this file at both core counts.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "4"))
+
+# representative per-operator queries (subset of __spark_entry__.queries())
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_nation_revenue",
+    "q04_segment_top_customers",
+    "q08_user_sessions",
+    "q10_token_stats",
+    "q11_quality_rules",
+    "q12_exact_dup_groups",
+    "q14_knn_cosine_top5",
+    "q16_minhash_signatures",
+    "q22_lsh_dup_candidates",
+]
+
+
+def main() -> int:
+    from pii_extract_base_spark.config import get_spark
+    from pii_extract_base_spark.pipeline import QualityPipeline
+    from pii_extract_base_spark.sources.pages import synth_pages
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- headline: pipeline throughput -------------------------------------
+    # warm the JVM + Python workers with a tiny run (excluded from timing)
+    warm = synth_pages(spark, SF_DIR).limit(64)
+    QualityPipeline()(warm).agg({"n_entities": "sum"}).collect()
+
+    pages = synth_pages(spark, SF_DIR, repartition=2 * CPUS,
+                        multiplier=MULTIPLIER)
+    pipe = QualityPipeline(salt_partitions=2 * CPUS)
+    t0 = time.time()
+    agg = pipe(pages).selectExpr(
+        "count(*) as n", "sum(cast(keep as int)) as kept",
+        "sum(n_entities) as ents").collect()[0]
+    pipeline_sec = time.time() - t0
+    n_docs = agg.n
+
+    # -- per-query timings ---------------------------------------------------
+    queries = entry_mod.queries()
+    timings = {"pipeline": round(pipeline_sec, 3)}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "pipeline_wall_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1),
+        "kept": int(agg.kept),
+        "entities": int(agg.ents),
+        "cores": CPUS,
+        "multiplier": MULTIPLIER,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""Deduplication operators for training-data pipelines.
+
+ - exact_duplicates: md5-fingerprint groupBy (one shuffle on a 32-char
+   key; at 100 TB this is the cheapest possible dedup pass)
+ - minhash_signatures / lsh_candidate_pairs: MinHash + banded LSH.
+   Hash family is md5-based (h_i(s) = md5(i || '|' || s), hex compared
+   lexicographically) — chosen deliberately over xxhash64 so DuckDB can
+   replay the EXACT signature for the driver's correctness oracle.
+ - simhash_fingerprint: 64-bit SimHash over word unigrams (xxhash64 bit
+   votes), native SQL end-to-end.
+ - ngram_jaccard_pairs: exact Jaccard over shingle sets for candidate
+   pairs (verification step after LSH).
+
+Scale notes (100 TB): signatures are tiny (num_perm × 32 B) so the LSH
+band explode+groupBy shuffles signature rows, never documents; the
+final verify join pulls shingle sets only for candidate pairs (a ~1e-5
+fraction). Skewed buckets (boilerplate pages) are broken by AQE.
+"""
+
+from typing import List
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstats import fingerprint, shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: fingerprint, group size,
+    representative (min id) — `n_dups > 1` rows are the duplicates."""
+    return (df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+              .groupBy("fp")
+              .agg(F.count("*").alias("n_dups"),
+                   F.min(id_col).alias("representative")))
+
+
+def minhash_col(text_col: str = "text", k: int = 5,
+                num_perm: int = 8) -> F.Column:
+    """MinHash signature as array<string> of length num_perm:
+    sig[i] = min over shingles of md5(i || '|' || shingle)."""
+    sh = shingles(text_col, k)
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(num_perm)
+    ])
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       num_perm: int = 8) -> DataFrame:
+    return df.select(F.col(id_col),
+                     minhash_col(text_col, k, num_perm).alias("sig"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        num_perm: int = 8, band_size: int = 2) -> DataFrame:
+    """Banded LSH: documents sharing any full band of their MinHash
+    signature become a candidate pair (a, b) with a < b."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    n_bands = num_perm // band_size
+    bands = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("#", *[F.col("sig")[b * band_size + j]
+                                        for j in range(band_size)])
+                     .alias("bkey"))
+            for b in range(n_bands)
+        ])).alias("bb")
+    ).select(id_col, "bb.band", "bb.bkey")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, ["band", "bkey"])
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (LSH verify step)."""
+    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    out = (pairs
+           .join(sh.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+    return out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+def simhash_col(text_col: str = "text", bits: int = 64) -> F.Column:
+    """64-bit SimHash over word unigrams: for each bit, sum votes
+    (+1/-1 by the word-hash bit) and set the bit if positive. Native
+    SQL via aggregate over the words array."""
+    from ..functions.textstats import words_col
+    w = words_col(text_col)
+    hashes = F.transform(w, lambda x: F.xxhash64(x))
+    bit_cols = []
+    for b in range(bits):
+        mask = F.lit(1 << b).cast("long")
+        votes = F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(mask) != 0,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bit_cols.append(
+            F.when(votes > 0, mask).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         bits: int = 16) -> DataFrame:
+    """SimHash fingerprints (default 16 bits keeps the plan small; 64
+    for production near-dup hamming search)."""
+    return df.select(F.col(id_col),
+                     simhash_col(text_col, bits).alias("simhash"))

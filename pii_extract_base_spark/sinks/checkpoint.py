@@ -1,0 +1,154 @@
+"""Checkpointed, resumable table sink with per-partition lineage
+(north-star stage N8).
+
+Iceberg is the design target (hidden partitioning + snapshot commits);
+its Spark runtime jars are absent in this sandbox (SURVEY.md preamble),
+so the default backend is a parquet + JSON-manifest shim with the same
+commit semantics:
+
+ - work is split into logical partitions: part_id = pmod(xxhash64(url), P)
+ - each partition is processed and written to  <table>/part_id=<k>/
+ - a manifest line (partition id, input fingerprint, rows in/kept,
+   per-type entity counts, wall ms, commit ts) is appended ATOMICALLY
+   (write temp + rename) after the partition's files land
+ - resume = skip every partition already in the manifest; a re-run
+   after failure converges to exactly the same table with no duplicate
+   partitions (tested in tests/test_checkpoint_resume.py)
+
+At cluster scale the same loop runs wave-per-partition-group with the
+part_id filter pushed into an Iceberg/parquet partition prune, so a
+resume never rescans committed input.
+"""
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Set
+
+from pyspark.sql import DataFrame, functions as F
+
+MANIFEST = "_manifest.jsonl"
+METRICS_SCHEMA = ("partition_id int, input_fingerprint string, rows_in long, "
+                  "rows_kept long, entities map<string,long>, wall_ms long, "
+                  "stage string, committed_at timestamp")
+
+
+class CheckpointedSink:
+    def __init__(self, table_path: str, n_partitions: int = 8,
+                 stage: str = "quality_pipeline"):
+        self.path = Path(table_path)
+        self.n_partitions = n_partitions
+        self.stage = stage
+        self.path.mkdir(parents=True, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> Path:
+        return self.path / MANIFEST
+
+    def committed_partitions(self) -> Set[int]:
+        if not self._manifest_path.exists():
+            return set()
+        out = set()
+        with open(self._manifest_path, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    out.add(json.loads(line)["partition_id"])
+        return out
+
+    def manifest_entries(self) -> List[Dict]:
+        if not self._manifest_path.exists():
+            return []
+        with open(self._manifest_path, encoding="utf-8") as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    def _append_manifest(self, entry: Dict) -> None:
+        """Atomic append: write full manifest to temp, rename over."""
+        entries = self.manifest_entries()
+        entries.append(entry)
+        tmp = self._manifest_path.with_suffix(".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for e in entries:
+                f.write(json.dumps(e) + "\n")
+        os.replace(tmp, self._manifest_path)
+
+    # -- write ----------------------------------------------------------------
+
+    def run(self, pages: DataFrame,
+            transform: Callable[[DataFrame], DataFrame],
+            key_col: str = "url",
+            input_fingerprint: str = "",
+            fail_after: Optional[int] = None) -> int:
+        """Process + commit every uncommitted partition.
+
+        :param transform: pages-DF → output-DF (must keep key_col and
+            expose keep/entities columns for metrics)
+        :param fail_after: simulate a crash after N partition commits
+            (for resume tests)
+        :return: number of partitions committed in THIS run
+        """
+        part = F.pmod(F.xxhash64(F.col(key_col)),
+                      F.lit(self.n_partitions)).cast("int")
+        pages = pages.withColumn("_part_id", part)
+        done = self.committed_partitions()
+        committed = 0
+
+        for k in range(self.n_partitions):
+            if k in done:
+                continue
+            t0 = time.time()
+            subset = pages.where(F.col("_part_id") == k).drop("_part_id")
+            out = transform(subset)
+            out_path = str(self.path / f"part_id={k}")
+            out.write.mode("overwrite").parquet(out_path)
+
+            spark = out.sparkSession
+            written = spark.read.parquet(out_path)
+            rows_in = written.count()
+            rows_kept = written.where("keep").count() \
+                if "keep" in written.columns else rows_in
+            ent_counts: Dict[str, int] = {}
+            if "entities" in written.columns:
+                rows = (written.select(F.explode("entities").alias("e"))
+                        .groupBy("e.type").count().collect())
+                ent_counts = {r["type"]: r["count"] for r in rows}
+
+            self._append_manifest({
+                "partition_id": k,
+                "input_fingerprint": input_fingerprint,
+                "rows_in": rows_in,
+                "rows_kept": rows_kept,
+                "entities": ent_counts,
+                "wall_ms": int((time.time() - t0) * 1000),
+                "stage": self.stage,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            })
+            committed += 1
+            if fail_after is not None and committed >= fail_after:
+                raise RuntimeError(
+                    f"simulated failure after {committed} partitions")
+        return committed
+
+    # -- read ------------------------------------------------------------------
+
+    def read(self, spark) -> DataFrame:
+        """Read only COMMITTED partitions (uncommitted files invisible —
+        the manifest is the source of truth, like an Iceberg snapshot)."""
+        done = sorted(self.committed_partitions())
+        if not done:
+            raise FileNotFoundError(f"no committed partitions in {self.path}")
+        paths = [str(self.path / f"part_id={k}") for k in done]
+        return spark.read.parquet(*paths)
+
+    def metrics(self, spark) -> DataFrame:
+        """The _metrics lineage table (FIXTURES.md §3.3)."""
+        entries = self.manifest_entries()
+        rows = [(e["partition_id"], e["input_fingerprint"], e["rows_in"],
+                 e["rows_kept"], e["entities"], e["wall_ms"], e["stage"],
+                 e["committed_at"]) for e in entries]
+        import datetime
+        rows = [r[:-1] + (datetime.datetime.fromisoformat(r[-1]),)
+                for r in rows]
+        return spark.createDataFrame(rows, METRICS_SCHEMA)

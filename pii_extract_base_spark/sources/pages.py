@@ -162,15 +162,21 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 
-def synth_pages_pandas(documents_pdf):
-    """Pure-pandas synthesizer (oracle side / small tests)."""
+def synth_pages_pandas(documents_pdf, multiplier: int = 1):
+    """Pure-pandas synthesizer (oracle side / small tests).
+
+    multiplier M > 1 spawns M pages per seed document (page ids
+    doc_id*M+j) — deterministic corpus amplification for benchmarks.
+    """
     import pandas as pd
-    recs = [page_record(int(r.doc_id), r.text or "")
-            for r in documents_pdf.itertuples()]
+    recs = [page_record(int(r.doc_id) * multiplier + j, r.text or "")
+            for r in documents_pdf.itertuples()
+            for j in range(multiplier)]
     return pd.DataFrame(recs)
 
 
-def synth_pages(spark, sf_dir: str, repartition: int = None):
+def synth_pages(spark, sf_dir: str, repartition: int = None,
+                multiplier: int = 1):
     """Spark synthesizer: documents.parquet → pages DataFrame.
 
     Runs as mapInPandas over (doc_id, text) only — column pruning pushes
@@ -183,6 +189,6 @@ def synth_pages(spark, sf_dir: str, repartition: int = None):
 
     def gen(batches) -> Iterator:
         for pdf in batches:
-            yield synth_pages_pandas(pdf)
+            yield synth_pages_pandas(pdf, multiplier)
 
     return docs.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -1,0 +1,72 @@
+"""Resume idempotency (BASELINE.md): kill after partition k, re-run,
+final table identical to a clean one-shot run, no duplicate partitions."""
+
+import shutil
+
+import pytest
+
+from pii_extract_base_spark.pipeline import QualityPipeline
+from pii_extract_base_spark.sinks.checkpoint import CheckpointedSink
+from pii_extract_base_spark.sources.pages import synth_pages
+from pii_extract_base_spark.registry.factory import registry_fingerprint
+
+SF_DIR = "/root/testdata/sf0.001"
+N_PARTS = 4
+
+
+def _table_rows(spark, sink):
+    df = sink.read(spark).select("url", "keep", "scrubbed_text",
+                                 "n_entities")
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def pipe():
+    p = QualityPipeline(("en", "es", "fr", "de"))
+    return lambda df: p(df).drop("rules")
+
+
+def test_failure_then_resume(spark, tmp_path, pipe):
+    pages = synth_pages(spark, SF_DIR).limit(200).cache()
+    fp = registry_fingerprint(("en", "es", "fr", "de"))
+
+    # clean one-shot reference run
+    ref = CheckpointedSink(str(tmp_path / "ref"), n_partitions=N_PARTS)
+    n = ref.run(pages, pipe, input_fingerprint=fp)
+    assert n == N_PARTS
+    ref_rows = _table_rows(spark, ref)
+
+    # crash after 2 partitions
+    sink = CheckpointedSink(str(tmp_path / "tbl"), n_partitions=N_PARTS)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        sink.run(pages, pipe, input_fingerprint=fp, fail_after=2)
+    assert len(sink.committed_partitions()) == 2
+
+    # resume: only the remaining partitions run
+    n2 = sink.run(pages, pipe, input_fingerprint=fp)
+    assert n2 == N_PARTS - 2
+    assert sink.committed_partitions() == set(range(N_PARTS))
+
+    # identical final table, no duplicate partitions
+    assert _table_rows(spark, sink) == ref_rows
+
+    # second resume is a no-op
+    assert sink.run(pages, pipe, input_fingerprint=fp) == 0
+    assert _table_rows(spark, sink) == ref_rows
+
+
+def test_metrics_lineage(spark, tmp_path, pipe):
+    pages = synth_pages(spark, SF_DIR).limit(100)
+    fp = registry_fingerprint(("en", "es", "fr", "de"))
+    sink = CheckpointedSink(str(tmp_path / "tbl"), n_partitions=2)
+    sink.run(pages, pipe, input_fingerprint=fp)
+
+    m = sink.metrics(spark)
+    rows = {r.partition_id: r for r in m.collect()}
+    assert set(rows) == {0, 1}
+    assert sum(r.rows_in for r in rows.values()) == 100
+    for r in rows.values():
+        assert r.input_fingerprint == fp
+        assert r.stage == "quality_pipeline"
+        assert r.wall_ms > 0
+        assert r.rows_kept <= r.rows_in
