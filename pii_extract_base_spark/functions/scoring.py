@@ -19,20 +19,27 @@ import math
 from typing import Dict, List, Tuple
 from zlib import crc32
 
+import numpy as np
+
 from .langdata import SEED_WORDS, LANGS
 
 N_BUCKETS = 1 << 16
-MAX_SCORE_CHARS = 2000      # score on a prefix; plenty for langid+ppl
+MAX_SCORE_CHARS = 1200      # score on a prefix; plenty for langid+ppl
 UND = "und"                 # undetermined language
 
 
 def _ngram_hashes(text: str, nmin: int = 1, nmax: int = 3) -> List[int]:
-    """Hashed char n-grams of a (lowercased, ws-normalized) string."""
+    """Hashed byte n-grams of a (lowercased, ws-normalized) string.
+
+    Byte (not char) n-grams: one encode, cheap memoryview-style slices —
+    the hot loop of the fused score pass.
+    """
+    b = text.encode("utf-8")
     out = []
-    L = len(text)
+    L = len(b)
     for n in range(nmin, nmax + 1):
         for i in range(L - n + 1):
-            out.append(crc32(text[i:i + n].encode("utf-8")) % N_BUCKETS)
+            out.append(crc32(b[i:i + n]) % N_BUCKETS)
     return out
 
 
@@ -70,6 +77,12 @@ def _build_models():
 
 _PROFILES, _UNIGRAM, _BIGRAM = _build_models()
 
+# dense profile matrix for the vectorized scorer: (n_langs, N_BUCKETS)
+_PROF_MAT = np.zeros((len(LANGS), N_BUCKETS), dtype=np.float64)
+for _li, _lang in enumerate(LANGS):
+    for _h, _v in _PROFILES[_lang].items():
+        _PROF_MAT[_li, _h] = _v
+
 _UNK_BIGRAM = 1e-6          # add-k floor for unseen char bigrams
 _BACKOFF_LAMBDA = 0.4       # unigram↔char-backoff interpolation
 _SOFTMAX_T = 20.0           # softmax temperature over cosine scores
@@ -100,22 +113,14 @@ def score_text(text: str) -> Tuple[str, float, float]:
     if not snippet:
         return UND, 0.0, 99.0
 
-    # --- single n-gram hash pass
-    counts: Dict[int, int] = {}
-    for h in _ngram_hashes(" " + snippet + " "):
-        counts[h] = counts.get(h, 0) + 1
-    norm = math.sqrt(sum(v * v for v in counts.values())) or 1.0
+    # --- single n-gram hash pass (numpy bincount + dense matmul)
+    idx = np.fromiter(_ngram_hashes(" " + snippet + " "),
+                      dtype=np.int64)
+    counts_vec = np.bincount(idx, minlength=N_BUCKETS).astype(np.float64)
+    norm = math.sqrt(float(counts_vec @ counts_vec)) or 1.0
 
     # --- langid: cosine vs each profile, softmax confidence
-    sims = []
-    for lang in LANGS:
-        prof = _PROFILES[lang]
-        dot = 0.0
-        for h, c in counts.items():
-            p = prof.get(h)
-            if p:
-                dot += p * c
-        sims.append(dot / norm)
+    sims = list((_PROF_MAT @ counts_vec) / norm)
     mx = max(sims)
     exps = [math.exp(_SOFTMAX_T * (s - mx)) for s in sims]
     tot = sum(exps)

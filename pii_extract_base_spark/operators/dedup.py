@@ -34,31 +34,57 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
                    F.min(id_col).alias("representative")))
 
 
-def minhash_col(text_col: str = "text", k: int = 5,
-                num_perm: int = 8) -> F.Column:
-    """MinHash signature as array<string> of length num_perm:
-    sig[i] = min over shingles of md5(i || '|' || shingle)."""
-    sh = shingles(text_col, k)
-    return F.array(*[
-        F.array_min(F.transform(
-            sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(num_perm)
-    ])
-
-
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 5,
-                       num_perm: int = 8) -> DataFrame:
-    return df.select(F.col(id_col),
-                     minhash_col(text_col, k, num_perm).alias("sig"))
+                       num_perm: int = 8,
+                       family: str = "md5slice") -> DataFrame:
+    """MinHash signatures via explode → hash-once-per-shingle →
+    map-side-combined groupBy(min) — each shingle is hashed exactly once
+    (a naive per-permutation `array_min(transform(...))` re-evaluates
+    the whole shingle expression tree num_perm times).
+
+    Hash families:
+     - "md5slice": one md5 per shingle; permutation i = hex slice
+       [4i, 4i+4) of the digest (independent uniform 16-bit values).
+       Cross-engine replayable (DuckDB has the same md5) — this is the
+       family the driver's oracle verifies. Coarse minima are fine for
+       LSH candidate generation because ngram_jaccard_pairs verifies.
+     - "xxhash64": sig[i] = min xxhash64(i, shingle) — full 64-bit
+       family for production scale (1e12 docs), Spark-only.
+
+    Docs with no shingles (< k words) are omitted, matching the oracle.
+    """
+    sh = (df.select(F.col(id_col),
+                    F.explode(shingles(text_col, k)).alias("s")))
+    if family == "md5slice":
+        assert num_perm <= 8, "md5 has 32 hex chars = 8 slices of 4"
+        h = F.md5("s")
+        aggs = [F.min(F.substring(h, 4 * i + 1, 4)).alias(f"h{i}")
+                for i in range(num_perm)]
+    elif family == "xxhash64":
+        aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+                for i in range(num_perm)]
+    else:
+        raise ValueError(f"unknown minhash family: {family}")
+    grouped = sh.groupBy(id_col).agg(*aggs)
+    return grouped.select(
+        id_col,
+        F.array(*[F.col(f"h{i}").cast("string")
+                  for i in range(num_perm)]).alias("sig"))
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        num_perm: int = 8, band_size: int = 2) -> DataFrame:
+                        num_perm: int = 8, band_size: int = 2,
+                        family: str = "xxhash64") -> DataFrame:
     """Banded LSH: documents sharing any full band of their MinHash
-    signature become a candidate pair (a, b) with a < b."""
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perm)
+    signature become a candidate pair (a, b) with a < b.
+
+    Only signature rows shuffle (num_perm small values per doc), never
+    document text; the band groupBy is the one shuffle that matters at
+    corpus scale, on a short composite key.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perm, family)
     n_bands = num_perm // band_size
     bands = sigs.select(
         id_col,
