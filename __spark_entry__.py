@@ -110,10 +110,11 @@ def q04_segment_top_customers(spark, sf_dir):
 
 
 def q05_customers_no_orders(spark, sf_dir):
-    """Set op / anti-join: customers that never ordered."""
+    """Set op / anti-join: customers without any urgent order."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (cust.join(urgent, cust.c_custkey == urgent.o_custkey,
                       "left_anti")
                 .select("c_custkey", "c_name"))
 
@@ -148,6 +149,16 @@ def q08_user_sessions(spark, sf_dir):
               .groupBy("user_id")
               .agg(F.sum("s").alias("n_sessions"),
                    F.count("*").alias("n_events")))
+
+
+def q09_exists_big_lineitem(spark, sf_dir):
+    """Semi-join (EXISTS): orders having a high-quantity lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.where(F.col("l_quantity") >= 45)
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey,
+                        "left_semi")
+                  .select("o_orderkey", "o_orderpriority"))
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +201,45 @@ def q14_knn_cosine_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     return cosine_topk(emb, queries, k=5)
+
+
+def q17_embedding_near_dups(spark, sf_dir):
+    from pii_extract_base_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def q18_ivf_topk(spark, sf_dir):
+    from pii_extract_base_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries, k=5, centroid_stride=25, nprobe=3)
+
+
+def q19_rollup_lang_source(spark, sf_dir):
+    """Multi-level aggregate (ROLLUP) over the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.rollup("lang", "source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")))
+
+
+def q25_rolling_fingerprint(spark, sf_dir):
+    from pii_extract_base_spark.functions.textstats import (
+        rolling_fingerprint)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("rk_fp"))
+
+
+def q27_repeat_users(spark, sf_dir):
+    """Set op (INTERSECT): users active on both of the two first days."""
+    ev = _t(spark, sf_dir, "events")
+    days = [r[0] for r in (ev.select(F.to_date("ts").alias("d"))
+                             .distinct().orderBy("d").limit(2).collect())]
+    d1 = ev.where(F.to_date("ts") == F.lit(days[0])).select("user_id")
+    d2 = ev.where(F.to_date("ts") == F.lit(days[-1])).select("user_id")
+    return d1.intersect(d2)
 
 
 def q15_lang_source_stats(spark, sf_dir):
@@ -243,6 +293,39 @@ def q23_simhash(spark, sf_dir):
     return simhash_fingerprints(docs, bits=16)
 
 
+def q24_langid_pred(spark, sf_dir):
+    """Fused langid+perplexity Arrow UDF: prediction counts per
+    (true lang, predicted lang) — Python-kernel stage, rows-only."""
+    from pii_extract_base_spark.operators.score import make_score_udf
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn("s", make_score_udf()(F.col("text")))
+    return (scored.groupBy("lang", F.col("s.lang_pred").alias("lang_pred"))
+                  .agg(F.count("*").alias("n"),
+                       F.round(F.avg("s.lang_conf"), 4).alias("avg_conf")))
+
+
+def q26_image_features(spark, sf_dir):
+    """Multimodal plumbing: binary blobs → entropy + feature vectors
+    via bytes-capped mapInPandas (decode stubbed — rows-only)."""
+    from pii_extract_base_spark.operators.multimodal import image_features
+    from pii_extract_base_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, sf_dir)
+    feats = image_features(pages, blob_col="html", url_col="url")
+    return feats.select("url", "n_bytes", F.round("byte_entropy", 4)
+                        .alias("entropy"), F.size("features").alias("dim"))
+
+
+def q28_approx_stats(spark, sf_dir):
+    """Sketch aggregates (HLL + quantile sketch) — dedup/profiling
+    metrics at corpus scale; rows-only (sketches aren't portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.approx_count_distinct("text").alias("approx_distinct_texts"),
+        F.expr("approx_percentile(n_chars, array(0.5, 0.95, 0.99))")
+         .alias("len_quantiles"),
+        F.count("*").alias("n_docs"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -255,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_order_priority_stats": q06_order_priority_stats,
         "q07_events_daily": q07_events_daily,
         "q08_user_sessions": q08_user_sessions,
+        "q09_exists_big_lineitem": q09_exists_big_lineitem,
         "q10_token_stats": q10_token_stats,
         "q11_quality_rules": q11_quality_rules,
         "q12_exact_dup_groups": q12_exact_dup_groups,
@@ -262,10 +346,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_knn_cosine_top5": q14_knn_cosine_top5,
         "q15_lang_source_stats": q15_lang_source_stats,
         "q16_minhash_signatures": q16_minhash_signatures,
+        "q17_embedding_near_dups": q17_embedding_near_dups,
+        "q18_ivf_topk": q18_ivf_topk,
+        "q19_rollup_lang_source": q19_rollup_lang_source,
         "q20_pipeline_keep_stats": q20_pipeline_keep_stats,
         "q21_pipeline_entities_by_type": q21_pipeline_entities_by_type,
         "q22_lsh_dup_candidates": q22_lsh_dup_candidates,
         "q23_simhash": q23_simhash,
+        "q24_langid_pred": q24_langid_pred,
+        "q25_rolling_fingerprint": q25_rolling_fingerprint,
+        "q26_image_features": q26_image_features,
+        "q27_repeat_users": q27_repeat_users,
+        "q28_approx_stats": q28_approx_stats,
     }
 
 
@@ -332,7 +424,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q05_customers_no_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
         """,
         "q06_order_priority_stats": """
             SELECT o_orderpriority,
@@ -360,6 +453,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sum(s) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "q09_exists_big_lineitem": """
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity >= 45)
         """,
         "q10_token_stats": f"""
             SELECT doc_id,
@@ -418,6 +517,99 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string([{minhash_sig}], ',') AS sig_str
             FROM documents
             WHERE len({shingles5}) > 0
+        """,
+        "q17_embedding_near_dups": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))),
+                             6) AS cosine
+                FROM e a, e b WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+        """,
+        "q18_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                      WHERE vec_id % 25 = 0),
+            assigned AS (
+                SELECT cid, cent_id FROM (
+                    SELECT e.vec_id AS cid, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.v, c.cv)
+                                        / (sqrt(list_dot_product(e.v, e.v))
+                                         * sqrt(list_dot_product(c.cv, c.cv)))
+                                        DESC,
+                                        c.cent_id ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT q_id, cent_id FROM (
+                    SELECT q.vec_id AS q_id, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY list_dot_product(q.v, c.cv)
+                                        / (sqrt(list_dot_product(q.v, q.v))
+                                         * sqrt(list_dot_product(c.cv, c.cv)))
+                                        DESC,
+                                        c.cent_id ASC) AS rn
+                    FROM e q, cents c WHERE q.vec_id < 20
+                ) WHERE rn <= 3
+            ),
+            cand AS (
+                SELECT p.q_id, a.cid AS neighbor_id,
+                       round(list_dot_product(qe.v, ce.v)
+                             / (sqrt(list_dot_product(qe.v, qe.v))
+                              * sqrt(list_dot_product(ce.v, ce.v))),
+                             6) AS cosine
+                FROM probes p
+                JOIN assigned a USING (cent_id)
+                JOIN e qe ON qe.vec_id = p.q_id
+                JOIN e ce ON ce.vec_id = a.cid
+                WHERE a.cid <> p.q_id
+            )
+            SELECT q_id, neighbor_id, rank FROM (
+                SELECT q_id, neighbor_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM cand
+            ) WHERE rank <= 5
+        """,
+        "q19_rollup_lang_source": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "q25_rolling_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) > 0 THEN
+                       list_reduce(
+                           list_prepend(0::BIGINT,
+                               list_transform(
+                                   range(1, length(coalesce(text, '')) + 1),
+                                   i -> ord(substr(coalesce(text, ''),
+                                                   i, 1))::BIGINT)),
+                           (a, c) -> (a * 131 + c) % 1000000007)
+                   ELSE 0 END AS rk_fp
+            FROM documents
+        """,
+        "q27_repeat_users": """
+            WITH d2 AS (
+                SELECT d FROM (SELECT DISTINCT cast(ts AS date) AS d
+                               FROM events) ORDER BY d LIMIT 2
+            )
+            SELECT user_id FROM events
+            WHERE cast(ts AS date) = (SELECT min(d) FROM d2)
+            INTERSECT
+            SELECT user_id FROM events
+            WHERE cast(ts AS date) = (SELECT max(d) FROM d2)
         """,
         # q20/q21/q22/q23: Python-kernel or hash-dialect-specific stages —
         # rows-only driver check (no portable SQL equivalent).

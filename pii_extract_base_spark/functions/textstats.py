@@ -49,3 +49,20 @@ def shingles(text_col: str = "text", k: int = 5) -> Column:
 
 def shingle_count(text_col: str = "text", k: int = 5) -> Column:
     return F.size(shingles(text_col, k))
+
+
+def rolling_fingerprint(text_col: str = "text",
+                        base: int = 131, mod: int = 1_000_000_007) -> Column:
+    """Rabin–Karp polynomial rolling hash over the document's
+    codepoints: H = fold(c -> (H*base + c) mod mod). Native SQL
+    (`aggregate` over a codepoint array, inside WholeStageCodegen) and
+    engine-portable — DuckDB replays it exactly via list_reduce (the
+    synthetic corpus is ASCII; both engines agree on codepoints).
+    Unlike md5, prefix hashes of the same polynomial support O(1)
+    rolling window comparisons for chunk-level dedup."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    codes = F.transform(F.sequence(F.lit(1), F.length(t)),
+                        lambda i: F.ascii(F.substring(t, i, F.lit(1))))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, c: (acc * base + c) % mod)
+    return F.when(F.length(t) > 0, h).otherwise(F.lit(0).cast("long"))

@@ -122,6 +122,52 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     return out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             method: str = "exact",
+                             n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine)
+    with cosine >= threshold.
+
+    method="exact": self cross-join with native dot products — the
+    correctness baseline (O(n^2), only for eval-scale corpora).
+    method="lsh": random-hyperplane sign buckets (same family as
+    similarity.lsh_bucket_topk) turn the cross-join into an equi-join
+    on an n_planes-bit key, then exact cosine verifies inside buckets —
+    the 1e9+ vector scale path (recall grows with multi-probe /
+    fewer planes; each pair is still exactly verified, so precision
+    is 1.0 by construction).
+    """
+    from .similarity import _dot, _norm, _hyperplanes
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      _norm(v).alias("nrm"))
+    if method == "lsh":
+        dim = len(emb.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes)
+        bits = [F.when(_dot(F.col("v"), F.array(*[F.lit(x) for x in p]))
+                       >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i, p in enumerate(planes)]
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        base = base.withColumn("bucket", bucket)
+        a, b = base.alias("a"), base.alias("b")
+        joined = (a.join(b, "bucket")
+                   .where(F.col("a.id") < F.col("b.id")))
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.crossJoin(b).where(F.col("a.id") < F.col("b.id"))
+    cos = (_dot(F.col("a.v"), F.col("b.v"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
+    return (joined.select(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"),
+                          F.round(cos, 6).alias("cosine"))
+                  .where(F.col("cosine") >= threshold))
+
+
 def simhash_col(text_col: str = "text", bits: int = 64) -> F.Column:
     """64-bit SimHash over word unigrams: for each bit, sum votes
     (+1/-1 by the word-hash bit) and set the bit if positive. Native

@@ -107,3 +107,67 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("q_id", "neighbor_id", "rank"))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroid_stride: int = 25, nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every
+    `centroid_stride`-th corpus vector is a centroid — stands in for an
+    offline k-means; same plan shape) partitions the corpus into
+    inverted lists; each query probes its `nprobe` nearest centroids
+    and exact-reranks only those lists.
+
+    Plan: centroids are broadcast twice (assignment of corpus rows,
+    probe selection for queries); the list search is an equi-join on
+    `centroid_id` — the cross-join disappears, and at 1e9+ vectors the
+    corpus-side assignment is a map-only pass over the scan. Output
+    (q_id, neighbor_id, rank) is integer-only for the oracle.
+    """
+    cents = corpus.where(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+
+    def cosine(a, b):
+        av = F.transform(a, lambda x: x.cast("double"))
+        bv = F.transform(b, lambda x: x.cast("double"))
+        return _dot(av, bv) / (_norm(av) * _norm(bv))
+
+    # inverted lists: every corpus vector -> nearest centroid
+    w_assign = Window.partitionBy("cid").orderBy(
+        F.desc("cent_cos"), F.asc("cent_id"))
+    assigned = (corpus.select(F.col(id_col).alias("cid"),
+                              F.col(vec_col).alias("c_vec"))
+                .join(F.broadcast(cents))
+                .select("cid", "c_vec", "cent_id",
+                        cosine(F.col("c_vec"),
+                               F.col("cent_vec")).alias("cent_cos"))
+                .withColumn("rn", F.row_number().over(w_assign))
+                .where(F.col("rn") == 1)
+                .select("cid", "c_vec", "cent_id"))
+
+    # probe lists: each query -> its nprobe nearest centroids
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.desc("probe_cos"), F.asc("cent_id"))
+    probes = (queries.select(F.col(id_col).alias("q_id"),
+                             F.col(vec_col).alias("q_vec"))
+              .join(F.broadcast(cents))
+              .select("q_id", "q_vec", "cent_id",
+                      cosine(F.col("q_vec"),
+                             F.col("cent_vec")).alias("probe_cos"))
+              .withColumn("rn", F.row_number().over(w_probe))
+              .where(F.col("rn") <= nprobe)
+              .select("q_id", "q_vec", "cent_id"))
+
+    # search only the probed inverted lists
+    cand = (assigned.join(F.broadcast(probes), "cent_id")
+            .where(F.col("cid") != F.col("q_id")))
+    scored = cand.select(
+        "q_id", F.col("cid").alias("neighbor_id"),
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"))
+    # a vector can appear via several probed centroids only if lists
+    # overlapped — they don't (rn==1 assignment), so no distinct needed
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                           F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("q_id", "neighbor_id", "rank"))

@@ -141,3 +141,61 @@ def test_collection_json_sink(spark, tmp_path):
     meta = js.load(open(f"{out}/metadata.json"))
     assert meta["format"] == "piisa:pii-collection:v1"
     assert meta["stage"] == "detection"
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark):
+    from pii_extract_base_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in embedding_near_dup_pairs(emb, 0.4).collect()}
+    assert exact, "threshold 0.4 should yield pairs on the synth corpus"
+    assert all(c >= 0.4 for c in exact.values())
+    # LSH path: precision 1.0 by construction (exact verify in-bucket),
+    # every reported pair must exist in the exact set at same cosine
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in embedding_near_dup_pairs(
+               emb, 0.4, method="lsh", n_planes=4).collect()}
+    for pair, c in lsh.items():
+        assert exact[pair] == c
+    assert len(lsh) >= len(exact) // 4  # recall floor with 4 planes
+
+
+def test_ivf_topk_shape_and_recall(spark):
+    from pii_extract_base_spark.operators.similarity import (
+        cosine_topk, ivf_topk)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    got = ivf_topk(emb, queries, k=5, centroid_stride=25,
+                   nprobe=3).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, set()).add(r.neighbor_id)
+    assert set(per_q) == set(range(10))     # every query answered
+    assert all(len(v) == 5 for v in per_q.values())
+    # nprobe=3 of 20 lists must still recover a fair share of true top-5
+    hits = sum(len(per_q[q] & exact[q]) for q in per_q)
+    assert hits >= 10   # ≥20% recall floor, deterministic on seed-42 data
+
+
+def test_rolling_fingerprint_matches_python(spark):
+    from pii_extract_base_spark.functions.textstats import (
+        rolling_fingerprint)
+    texts = ["hello world", "", "a", "x" * 500, "the quick brown fox"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+
+    def py_rk(t, base=131, mod=1_000_000_007):
+        h = 0
+        for ch in t:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_rk(t), (i, t[:20])
+    assert got[0] != got[4]  # distinct texts -> distinct hashes
