@@ -56,12 +56,21 @@ def main() -> int:
     warm = synth_pages(spark, SF_DIR).limit(64)
     QualityPipeline()(warm).agg({"n_entities": "sum"}).collect()
 
-    # explicit repartitioning happens at ingest (synth) on the doc key;
-    # salting-by-url (partitioning.salted_repartition) is the policy for
-    # skewed production layouts — here the synth layout is already
-    # uniform, so an extra full-table shuffle would only burn time.
-    pages = synth_pages(spark, SF_DIR, repartition=2 * CPUS,
-                        multiplier=MULTIPLIER)
+    # Materialize the synthetic corpus to parquet once, OUTSIDE the timed
+    # region (input generation is not pipeline work), reused across runs
+    # of the same sf/multiplier — so the 8-core and 32-core scaling runs
+    # time the identical parquet input.
+    tag = Path(SF_DIR).name
+    pages_pq = f"/tmp/bench_pages_{tag}_x{MULTIPLIER}"
+    if not Path(pages_pq, "_SUCCESS").exists():
+        (synth_pages(spark, SF_DIR, repartition=64, multiplier=MULTIPLIER)
+         .write.mode("overwrite").parquet(pages_pq))
+
+    # explicit repartitioning happens at ingest; salting-by-url
+    # (partitioning.salted_repartition) is the policy for skewed
+    # production layouts — the synth layout is uniform, so a plain
+    # round-robin to 2 partitions/core suffices.
+    pages = spark.read.parquet(pages_pq).repartition(2 * CPUS)
     pipe = QualityPipeline()
     t0 = time.time()
     agg = pipe(pages).selectExpr(

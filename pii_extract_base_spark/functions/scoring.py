@@ -17,7 +17,6 @@ vocabulary (functions/langdata.py) — no RNG, no external files.
 
 import math
 from typing import Dict, List, Tuple
-from zlib import crc32
 
 import numpy as np
 
@@ -27,20 +26,35 @@ N_BUCKETS = 1 << 16
 MAX_SCORE_CHARS = 1200      # score on a prefix; plenty for langid+ppl
 UND = "und"                 # undetermined language
 
+_POLY_B = np.uint64(1099511628211)        # FNV-1a prime (poly base)
+_MIX = np.uint64(0x2545F4914F6CDD1D)      # xorshift* finalizer multiplier
+_SHIFT = np.uint64(64 - 16)               # keep top 16 bits → N_BUCKETS
+
+
+def _bucket_hashes(data: bytes, nmin: int = 1, nmax: int = 3) -> np.ndarray:
+    """Bucket indices of every byte n-gram, fully vectorized: one
+    polynomial rolling hash per n (uint64 wraparound), multiply-shift
+    mixed down to 16 bits. No per-gram Python — the n-gram pass is
+    3 numpy ops per n, which is what lets the fused langid+ppl UDF keep
+    up with the native stages."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    L = len(b)
+    outs = []
+    for n in range(nmin, nmax + 1):
+        if L < n:
+            continue
+        h = np.zeros(L - n + 1, dtype=np.uint64)
+        for j in range(n):
+            h = h * _POLY_B + b[j:L - n + 1 + j]
+        outs.append((h * _MIX) >> _SHIFT)
+    if not outs:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(outs).astype(np.int64)
+
 
 def _ngram_hashes(text: str, nmin: int = 1, nmax: int = 3) -> List[int]:
-    """Hashed byte n-grams of a (lowercased, ws-normalized) string.
-
-    Byte (not char) n-grams: one encode, cheap memoryview-style slices —
-    the hot loop of the fused score pass.
-    """
-    b = text.encode("utf-8")
-    out = []
-    L = len(b)
-    for n in range(nmin, nmax + 1):
-        for i in range(L - n + 1):
-            out.append(crc32(b[i:i + n]) % N_BUCKETS)
-    return out
+    """Hashed byte n-grams of a (lowercased, ws-normalized) string."""
+    return _bucket_hashes(text.encode("utf-8"), nmin, nmax).tolist()
 
 
 def _build_models():
@@ -103,6 +117,33 @@ def _char_logprob(word: str, big: Dict[str, float]) -> float:
     return lp / max(n, 1)
 
 
+# word → interpolated log2 prob, memoized per language: the web corpus
+# repeats its vocabulary heavily, so the char-backoff loop runs once per
+# distinct (lang, word) instead of once per token occurrence.
+_WORD_LP_CACHE: Dict[str, Dict[str, float]] = {lang: {} for lang in LANGS}
+_WORD_LP_CACHE_CAP = 1 << 20
+_LP_NUM = math.log2(_P_NUM)
+
+
+def _word_logprob(w: str, lm_lang: str) -> float:
+    cache = _WORD_LP_CACHE[lm_lang]
+    lp = cache.get(w)
+    if lp is None:
+        if any(c.isdigit() for c in w):
+            lp = _LP_NUM
+        else:
+            p_uni = _UNIGRAM[lm_lang].get(w, 0.0)
+            lp_char = _char_logprob(w, _BIGRAM[lm_lang])
+            # KN-lite interpolation in prob domain
+            p = ((1 - _BACKOFF_LAMBDA) * p_uni
+                 + _BACKOFF_LAMBDA * (2.0 ** lp_char))
+            lp = math.log2(max(p, 1e-12))
+        if len(cache) >= _WORD_LP_CACHE_CAP:
+            cache.clear()
+        cache[w] = lp
+    return lp
+
+
 def score_text(text: str) -> Tuple[str, float, float]:
     """One fused pass: (lang_pred, lang_conf, logppl).
 
@@ -113,14 +154,16 @@ def score_text(text: str) -> Tuple[str, float, float]:
     if not snippet:
         return UND, 0.0, 99.0
 
-    # --- single n-gram hash pass (numpy bincount + dense matmul)
-    idx = np.fromiter(_ngram_hashes(" " + snippet + " "),
-                      dtype=np.int64)
-    counts_vec = np.bincount(idx, minlength=N_BUCKETS).astype(np.float64)
-    norm = math.sqrt(float(counts_vec @ counts_vec)) or 1.0
+    # --- single vectorized n-gram hash pass; cosine via sparse gather
+    # (profile columns for the buckets present — never the dense
+    # 65536-wide count vector per doc)
+    idx = _bucket_hashes((" " + snippet + " ").encode("utf-8"))
+    uniq, cnt = np.unique(idx, return_counts=True)
+    cntf = cnt.astype(np.float64)
+    norm = math.sqrt(float(cntf @ cntf)) or 1.0
 
     # --- langid: cosine vs each profile, softmax confidence
-    sims = list((_PROF_MAT @ counts_vec) / norm)
+    sims = list((_PROF_MAT[:, uniq] @ cntf) / norm)
     mx = max(sims)
     exps = [math.exp(_SOFTMAX_T * (s - mx)) for s in sims]
     tot = sum(exps)
@@ -132,19 +175,10 @@ def score_text(text: str) -> Tuple[str, float, float]:
 
     # --- perplexity under the predicted (or en-fallback) LM
     lm_lang = lang_pred if lang_pred != UND else "en"
-    uni = _UNIGRAM[lm_lang]
-    big = _BIGRAM[lm_lang]
     words = snippet.split()
     lp_sum = 0.0
     for w in words:
-        if any(c.isdigit() for c in w):
-            lp_sum += math.log2(_P_NUM)
-            continue
-        p_uni = uni.get(w, 0.0)
-        lp_char = _char_logprob(w, big)
-        # KN-lite interpolation in prob domain
-        p = (1 - _BACKOFF_LAMBDA) * p_uni + _BACKOFF_LAMBDA * (2.0 ** lp_char)
-        lp_sum += math.log2(max(p, 1e-12))
+        lp_sum += _word_logprob(w, lm_lang)
     logppl = -lp_sum / max(len(words), 1)
     return lang_pred, lang_conf, logppl
 
