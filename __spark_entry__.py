@@ -315,6 +315,19 @@ def q26_image_features(spark, sf_dir):
                         .alias("entropy"), F.size("features").alias("dim"))
 
 
+def q29_video_frames(spark, sf_dir):
+    """Multimodal UDTF-shape: per-frame row expansion over binary
+    blobs (decode stubbed — rows-only)."""
+    from pii_extract_base_spark.operators.multimodal import (
+        video_frame_sample)
+    from pii_extract_base_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, sf_dir)
+    frames = video_frame_sample(pages, max_frames=2)
+    return (frames.groupBy("frame_idx")
+                  .agg(F.count("*").alias("n_frames"),
+                       F.round(F.avg("mean_intensity"), 4).alias("avg_i")))
+
+
 def q28_approx_stats(spark, sf_dir):
     """Sketch aggregates (HLL + quantile sketch) — dedup/profiling
     metrics at corpus scale; rows-only (sketches aren't portable)."""
@@ -358,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_image_features": q26_image_features,
         "q27_repeat_users": q27_repeat_users,
         "q28_approx_stats": q28_approx_stats,
+        "q29_video_frames": q29_video_frames,
     }
 
 
@@ -611,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             WHERE cast(ts AS date) = (SELECT max(d) FROM d2)
         """,
-        # q20/q21/q22/q23: Python-kernel or hash-dialect-specific stages —
-        # rows-only driver check (no portable SQL equivalent).
+        # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
+        # pipeline stages), q22/q23 (xxhash64-dialect signatures), q24
+        # (langid model), q26/q29 (multimodal mapInPandas), q28 (sketches).
     }

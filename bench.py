@@ -25,7 +25,13 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "4"))
+# allocation rate grows with core count; an 8g heap at 32 cores spends
+# more CPU in GC than in the pipeline kernels (measured 2x total-CPU
+# inflation vs 8 cores). 16g keeps GC off the critical path without
+# paying tens of GB of fresh-heap page-zeroing per JVM (-Xms pins it).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "64"))
+N_TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
 
 # representative per-operator queries (subset of __spark_entry__.queries())
 BENCH_QUERIES = [
@@ -72,11 +78,17 @@ def main() -> int:
     # round-robin to 2 partitions/core suffices.
     pages = spark.read.parquet(pages_pq).repartition(2 * CPUS)
     pipe = QualityPipeline()
-    t0 = time.time()
-    agg = pipe(pages).selectExpr(
-        "count(*) as n", "sum(cast(keep as int)) as kept",
-        "sum(n_entities) as ents").collect()[0]
-    pipeline_sec = time.time() - t0
+    # median of 3 trials: this sandbox's virtualized kernel injects
+    # large, bursty system-time noise (identical runs vary 2-3x), and a
+    # single sample routinely misstates throughput in either direction
+    trials = []
+    for _ in range(N_TRIALS):
+        t0 = time.time()
+        agg = pipe(pages).selectExpr(
+            "count(*) as n", "sum(cast(keep as int)) as kept",
+            "sum(n_entities) as ents").collect()[0]
+        trials.append(time.time() - t0)
+    pipeline_sec = sorted(trials)[len(trials) // 2]
     n_docs = agg.n
 
     # -- per-query timings ---------------------------------------------------
@@ -100,6 +112,7 @@ def main() -> int:
         "entities": int(agg.ents),
         "cores": CPUS,
         "multiplier": MULTIPLIER,
+        "trials": [round(t, 3) for t in trials],
     }))
     return 0
 

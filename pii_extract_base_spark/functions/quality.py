@@ -98,17 +98,19 @@ def rules_columns(text_col: str = "text", lang_col: str = "lang"):
                                  lambda acc, w: acc + F.length(w)) / wc
                      ).otherwise(F.lit(0.0))
     n_chars = F.length(t)
-    # chars remaining after deleting everything that is NOT a symbol char
-    symbol_cnt = F.length(F.regexp_replace(t, r"[^#{}<>\[\]|\\^~]+", ""))
+    # count symbol chars by table-driven deletion (translate) — a regex
+    # scan here costs more than every other rule combined
+    symbol_cnt = n_chars - F.length(F.translate(t, SYMBOL_CHARS, ""))
     symbol_frac = F.when(n_chars > 0, symbol_cnt / n_chars).otherwise(0.0)
 
     lines = F.split(t, "\n")
     n_lines = F.size(lines)
     bullet_cnt = F.size(F.filter(
-        lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+        lines, lambda l: F.ltrim(l).substr(1, 1).isin(*_BULLETS)))
     bullet_frac = bullet_cnt / n_lines
     ellipsis_cnt = F.size(F.filter(
-        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        lines, lambda l: (F.rtrim(l).endswith("...")
+                          | F.rtrim(l).endswith("…"))))
     ellipsis_frac = ellipsis_cnt / n_lines
 
     nonempty = F.filter(lines, lambda l: F.trim(l) != "")
@@ -118,7 +120,11 @@ def rules_columns(text_col: str = "text", lang_col: str = "lang"):
         1.0 - F.size(F.array_distinct(nonempty)) / n_nonempty
     ).otherwise(0.0)
 
-    alpha_cnt = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    # "word contains a letter" via translate-delete, not per-word regex
+    _LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    alpha_cnt = F.size(F.filter(
+        words, lambda w: F.length(w) != F.length(F.translate(w, _LETTERS,
+                                                             ""))))
     alpha_frac = F.when(wc > 0, alpha_cnt / wc).otherwise(0.0)
 
     words_lower = F.array_distinct(F.transform(words, F.lower))

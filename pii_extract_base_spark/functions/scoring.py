@@ -16,9 +16,16 @@ vocabulary (functions/langdata.py) — no RNG, no external files.
 """
 
 import math
+import os
 from typing import Dict, List, Tuple
 
-import numpy as np
+# executor-side belt-and-braces: cap BLAS pools before numpy's first
+# import in this process (config.py sets the same for the driver path)
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+import numpy as np  # noqa: E402
 
 from .langdata import SEED_WORDS, LANGS
 
@@ -163,7 +170,9 @@ def score_text(text: str) -> Tuple[str, float, float]:
     norm = math.sqrt(float(cntf @ cntf)) or 1.0
 
     # --- langid: cosine vs each profile, softmax confidence
-    sims = list((_PROF_MAT[:, uniq] @ cntf) / norm)
+    # elementwise gather+sum (not BLAS dgemv): tiny operands, and BLAS
+    # thread pools must never wake inside a Spark python worker
+    sims = list((_PROF_MAT[:, uniq] * cntf).sum(axis=1) / norm)
     mx = max(sims)
     exps = [math.exp(_SOFTMAX_T * (s - mx)) for s in sims]
     tot = sum(exps)

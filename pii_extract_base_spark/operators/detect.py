@@ -113,3 +113,44 @@ def make_detect_udf(languages: Tuple[str, ...],
         })
 
     return detect_udf
+
+
+FUSED_RESULT_SCHEMA = (
+    "struct<lang_pred:string,lang_conf:double,logppl:double,"
+    f"entities:array<{ENTITY_STRUCT}>,scrubbed_text:string,"
+    "n_entities:int>")
+
+
+def make_fused_udf(languages: Tuple[str, ...],
+                   config_json: Optional[str] = None):
+    """Score + detect in ONE Arrow crossing.
+
+    The JVM-side row<->Arrow conversion around each ArrowEvalPython
+    stage costs more than the Python kernels themselves once those are
+    vectorized (measured: the JVM burned ~14 cores feeding two chained
+    UDF stages while python workers sat ~15% busy). Shipping `text`
+    once and returning one combined struct halves that conversion
+    work; langid+perplexity still share their single n-gram pass, and
+    the native rules stage stays outside, visible to Catalyst.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.scoring import score_batch
+
+    langs_t = tuple(languages)
+
+    @pandas_udf(FUSED_RESULT_SCHEMA)
+    def fused_udf(text: pd.Series, lang: pd.Series,
+                  url: pd.Series) -> pd.DataFrame:
+        texts = text.tolist()
+        preds, confs, ppls = score_batch(texts)
+        ents, scrubbed, counts = detect_batch(
+            texts, lang.tolist(), url.tolist(), langs_t, config_json)
+        return pd.DataFrame({
+            "lang_pred": preds, "lang_conf": confs, "logppl": ppls,
+            "entities": ents, "scrubbed_text": scrubbed,
+            "n_entities": counts,
+        })
+
+    return fused_udf

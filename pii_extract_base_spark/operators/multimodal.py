@@ -28,6 +28,10 @@ IMAGE_FEATURES_SCHEMA = (
 AUDIO_FRAMES_SCHEMA = (
     "url string, frame_idx int, n_bytes long, rms double")
 
+VIDEO_FRAMES_SCHEMA = (
+    "url string, frame_idx int, ts_ms long, n_bytes long, "
+    "mean_intensity double, features array<float>")
+
 MAX_BATCH_BYTES = 64 << 20
 
 
@@ -127,3 +131,51 @@ def audio_frame_sample(df, blob_col: str = "html", url_col: str = "url",
 
     return (df.select(url_col, blob_col)
               .mapInPandas(gen, schema=AUDIO_FRAMES_SCHEMA))
+
+
+def video_frame_sample(df, blob_col: str = "html", url_col: str = "url",
+                       frame_bytes: int = 1024, fps_ms: int = 40,
+                       max_frames: int = 3, feature_dim: int = 8,
+                       decode: str = "fake",
+                       max_batch_bytes: int = MAX_BATCH_BYTES):
+    """binary blobs → sampled "video frames" with a timestamp, mean
+    intensity and a per-frame feature vector (UDTF-shaped mapInPandas
+    row expansion; bytes-capped batches like image_features).
+
+    decode="fake" treats each `frame_bytes` block as one decoded frame
+    at a synthetic `fps_ms` cadence — the Spark-side contract (schema,
+    batch shape, per-frame fan-out ratio) is exactly what a real
+    ffmpeg/pyav frame sampler would produce."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real video decode needs pyav/ffmpeg (absent in this "
+            "container); replace the block sampler below")
+
+    import pandas as pd
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            for chunk in _rechunk_by_bytes(pdf, blob_col, max_batch_bytes):
+                urls, idxs, tss, sizes, means, feats = ([], [], [], [], [],
+                                                        [])
+                for url, blob in zip(chunk[url_col], chunk[blob_col]):
+                    blob = blob or b""
+                    n = max(1, min(max_frames,
+                                   len(blob) // frame_bytes or 1))
+                    for fi in range(n):
+                        frame = blob[fi * frame_bytes:(fi + 1) * frame_bytes]
+                        urls.append(url)
+                        idxs.append(fi)
+                        tss.append(fi * fps_ms)
+                        sizes.append(len(frame))
+                        means.append(round(sum(frame)
+                                           / max(len(frame), 1), 6))
+                        feats.append(_fake_image_features(frame,
+                                                          feature_dim))
+                yield pd.DataFrame({"url": urls, "frame_idx": idxs,
+                                    "ts_ms": tss, "n_bytes": sizes,
+                                    "mean_intensity": means,
+                                    "features": feats})
+
+    return (df.select(url_col, blob_col)
+              .mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA))

@@ -35,41 +35,65 @@ OUTPUT_COLUMNS = [
 
 
 class QualityPipeline:
-    """Configure once on the driver; apply to any pages DataFrame."""
+    """Configure once on the driver; apply to any pages DataFrame.
+
+    `fused=True` (default) runs langid+ppl+detect+scrub as ONE Arrow
+    crossing (see operators/detect.make_fused_udf): the JVM-side
+    row↔Arrow conversion around each ArrowEvalPython stage dominates
+    once the Python kernels are vectorized, so one crossing beats two.
+    `fused=False` keeps the two-stage plan (score pass, then detect
+    pass) — useful when only scores are needed downstream.
+    """
 
     def __init__(self, languages: Iterable[str] = DEFAULT_LANGUAGES,
                  config_json: Optional[str] = None,
-                 salt_partitions: Optional[int] = None):
+                 salt_partitions: Optional[int] = None,
+                 fused: bool = True):
         self.languages = tuple(languages)
         self.config_json = config_json
         self.salt_partitions = salt_partitions
-        self._score_udf = make_score_udf()
-        self._detect_udf = make_detect_udf(self.languages, config_json)
+        self.fused = fused
+        if fused:
+            from .operators.detect import make_fused_udf
+            self._fused_udf = make_fused_udf(self.languages, config_json)
+        else:
+            self._score_udf = make_score_udf()
+            self._detect_udf = make_detect_udf(self.languages, config_json)
 
     def __call__(self, pages: DataFrame) -> DataFrame:
         df = pages
         if self.salt_partitions:
             df = salted_repartition(df, "url", self.salt_partitions)
 
-        df = df.withColumn("score", self._score_udf(F.col("text")))
+        if self.fused:
+            sd = self._fused_udf(F.col("text"), F.col("lang"), F.col("url"))
+            df = df.withColumn("sd", sd)
+            score = F.col("sd")
+            detect = F.col("sd")
+        else:
+            df = df.withColumn("score", self._score_udf(F.col("text")))
+            df = df.withColumn(
+                "detect",
+                self._detect_udf(F.col("text"), F.col("lang"),
+                                 F.col("url")))
+            score = F.col("score")
+            detect = F.col("detect")
         df = df.withColumn("rules", rules_struct_column("text", "lang"))
-        df = df.withColumn(
-            "detect",
-            self._detect_udf(F.col("text"), F.col("lang"), F.col("url")))
 
-        keep, reasons = decision_columns("rules", "lang", "score")
+        score_name = "sd" if self.fused else "score"
+        keep, reasons = decision_columns("rules", "lang", score_name)
         df = (df
               .withColumn("keep", keep)
               .withColumn("reasons", reasons)
               .select(
                   "url", "warc_ts", "lang", "text",
-                  F.col("score.lang_pred").alias("lang_pred"),
-                  F.col("score.lang_conf").alias("lang_conf"),
-                  F.col("score.logppl").alias("logppl"),
+                  score.getField("lang_pred").alias("lang_pred"),
+                  score.getField("lang_conf").alias("lang_conf"),
+                  score.getField("logppl").alias("logppl"),
                   "rules",
-                  F.col("detect.entities").alias("entities"),
-                  F.col("detect.n_entities").alias("n_entities"),
-                  F.col("detect.scrubbed_text").alias("scrubbed_text"),
+                  detect.getField("entities").alias("entities"),
+                  detect.getField("n_entities").alias("n_entities"),
+                  detect.getField("scrubbed_text").alias("scrubbed_text"),
                   "keep", "reasons",
               ))
         return df

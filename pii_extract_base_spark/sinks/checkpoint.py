@@ -22,6 +22,7 @@ resume never rescans committed input.
 
 import json
 import os
+import shutil
 import time
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Set
@@ -80,13 +81,21 @@ class CheckpointedSink:
             transform: Callable[[DataFrame], DataFrame],
             key_col: str = "url",
             input_fingerprint: str = "",
-            fail_after: Optional[int] = None) -> int:
+            fail_after: Optional[int] = None,
+            wave_size: int = 1) -> int:
         """Process + commit every uncommitted partition.
 
         :param transform: pages-DF → output-DF (must keep key_col and
             expose keep/entities columns for metrics)
         :param fail_after: simulate a crash after N partition commits
             (for resume tests)
+        :param wave_size: partitions processed per Spark job. 1 = one
+            input scan per partition (smallest commit granularity);
+            W > 1 amortizes the scan across W partitions — at corpus
+            scale the input is read ceil(N/W) times instead of N, while
+            commit granularity (and hence redo-after-crash work) stays
+            one WAVE. Against an Iceberg/hive-partitioned input the
+            `_part_id IN (...)` filter prunes instead of rescanning.
         :return: number of partitions committed in THIS run
         """
         part = F.pmod(F.xxhash64(F.col(key_col)),
@@ -95,40 +104,66 @@ class CheckpointedSink:
         done = self.committed_partitions()
         committed = 0
 
-        for k in range(self.n_partitions):
-            if k in done:
-                continue
+        todo = [k for k in range(self.n_partitions) if k not in done]
+        waves = [todo[i:i + wave_size]
+                 for i in range(0, len(todo), wave_size)]
+        for wave in waves:
             t0 = time.time()
-            subset = pages.where(F.col("_part_id") == k).drop("_part_id")
-            out = transform(subset)
-            out_path = str(self.path / f"part_id={k}")
-            out.write.mode("overwrite").parquet(out_path)
+            subset = pages.where(F.col("_part_id").isin(wave))
+            out = transform(subset.drop("_part_id"))
+            # one pass writes every partition dir of the wave
+            out_part = F.pmod(F.xxhash64(F.col(key_col)),
+                              F.lit(self.n_partitions)).cast("int")
+            (out.withColumn("part_id", out_part)
+                .write.mode("overwrite")
+                .partitionBy("part_id").parquet(str(self.path / "_wave_tmp")))
+            wave_tmp = self.path / "_wave_tmp"
+            wall_ms = int((time.time() - t0) * 1000)
 
             spark = out.sparkSession
-            written = spark.read.parquet(out_path)
-            rows_in = written.count()
-            rows_kept = written.where("keep").count() \
-                if "keep" in written.columns else rows_in
-            ent_counts: Dict[str, int] = {}
-            if "entities" in written.columns:
-                rows = (written.select(F.explode("entities").alias("e"))
-                        .groupBy("e.type").count().collect())
-                ent_counts = {r["type"]: r["count"] for r in rows}
+            for k in wave:
+                src = wave_tmp / f"part_id={k}"
+                dst = self.path / f"part_id={k}"
+                if dst.exists():
+                    shutil.rmtree(dst)
+                if src.exists():
+                    os.replace(src, dst)
+                else:
+                    dst.mkdir(parents=True, exist_ok=True)
 
-            self._append_manifest({
-                "partition_id": k,
-                "input_fingerprint": input_fingerprint,
-                "rows_in": rows_in,
-                "rows_kept": rows_kept,
-                "entities": ent_counts,
-                "wall_ms": int((time.time() - t0) * 1000),
-                "stage": self.stage,
-                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-            })
-            committed += 1
-            if fail_after is not None and committed >= fail_after:
-                raise RuntimeError(
-                    f"simulated failure after {committed} partitions")
+                try:
+                    written = spark.read.parquet(str(dst))
+                    rows_in = written.count()
+                except Exception:  # noqa: BLE001 — empty partition
+                    written, rows_in = None, 0
+                rows_kept = rows_in
+                ent_counts: Dict[str, int] = {}
+                if written is not None and rows_in:
+                    if "keep" in written.columns:
+                        rows_kept = written.where("keep").count()
+                    if "entities" in written.columns:
+                        rows = (written
+                                .select(F.explode("entities").alias("e"))
+                                .groupBy("e.type").count().collect())
+                        ent_counts = {r["type"]: r["count"] for r in rows}
+
+                self._append_manifest({
+                    "partition_id": k,
+                    "input_fingerprint": input_fingerprint,
+                    "rows_in": rows_in,
+                    "rows_kept": rows_kept,
+                    "entities": ent_counts,
+                    "wall_ms": wall_ms // len(wave),
+                    "stage": self.stage,
+                    "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                })
+                committed += 1
+                if fail_after is not None and committed >= fail_after:
+                    raise RuntimeError(
+                        f"simulated failure after {committed} partitions")
+        wave_tmp = self.path / "_wave_tmp"
+        if wave_tmp.exists():
+            shutil.rmtree(wave_tmp)
         return committed
 
     # -- read ------------------------------------------------------------------

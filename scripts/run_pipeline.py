@@ -26,6 +26,13 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--languages", default="en,es,fr,de")
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpointed table dir: per-partition commits "
+                         "with lineage; re-running resumes idempotently")
+    ap.add_argument("--partitions", type=int, default=8,
+                    help="logical commit partitions for --checkpoint")
+    ap.add_argument("--wave-size", type=int, default=4,
+                    help="partitions per scan wave for --checkpoint")
     args = ap.parse_args()
 
     from pii_extract_base_spark.config import get_spark
@@ -39,6 +46,29 @@ def main() -> int:
         pages = pages.limit(args.limit)
 
     pipe = QualityPipeline(tuple(args.languages.split(",")))
+
+    if args.checkpoint:
+        from pii_extract_base_spark.sinks.checkpoint import CheckpointedSink
+        from pii_extract_base_spark.registry.factory import (
+            registry_fingerprint)
+        langs = tuple(args.languages.split(","))
+        sink = CheckpointedSink(args.checkpoint,
+                                n_partitions=args.partitions)
+        committed = sink.run(
+            pages, lambda df: pipe(df).drop("rules"),
+            input_fingerprint=registry_fingerprint(langs),
+            wave_size=args.wave_size)
+        table = sink.read(spark)
+        dt = time.time() - t0
+        print(json.dumps({
+            "docs": table.count(),
+            "kept": table.where("keep").count(),
+            "partitions_committed_this_run": committed,
+            "partitions_total": len(sink.committed_partitions()),
+            "sec": round(dt, 2),
+        }))
+        return 0
+
     out = pipe(pages)
 
     if args.output:

@@ -70,3 +70,25 @@ def test_metrics_lineage(spark, tmp_path, pipe):
         assert r.stage == "quality_pipeline"
         assert r.wall_ms > 0
         assert r.rows_kept <= r.rows_in
+
+
+def test_wave_commits_match_single_partition_runs(spark, tmp_path, pipe):
+    """wave_size>1 (one input scan per wave) must produce the identical
+    final table and manifest coverage as wave_size=1, including
+    crash-resume at a mid-wave commit boundary."""
+    pages = synth_pages(spark, SF_DIR).limit(200).cache()
+    fp = registry_fingerprint(("en", "es", "fr", "de"))
+
+    ref = CheckpointedSink(str(tmp_path / "ref"), n_partitions=N_PARTS)
+    ref.run(pages, pipe, input_fingerprint=fp)
+    ref_rows = _table_rows(spark, ref)
+
+    wave = CheckpointedSink(str(tmp_path / "wave"), n_partitions=N_PARTS)
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        wave.run(pages, pipe, input_fingerprint=fp, wave_size=2,
+                 fail_after=3)  # crashes mid-second-wave
+    assert len(wave.committed_partitions()) == 3
+    n2 = wave.run(pages, pipe, input_fingerprint=fp, wave_size=2)
+    assert n2 == 1
+    assert _table_rows(spark, wave) == ref_rows
+    assert wave.run(pages, pipe, input_fingerprint=fp, wave_size=2) == 0

@@ -199,3 +199,21 @@ def test_rolling_fingerprint_matches_python(spark):
     for i, t in enumerate(texts):
         assert got[i] == py_rk(t), (i, t[:20])
     assert got[0] != got[4]  # distinct texts -> distinct hashes
+
+
+def test_video_frame_sample(spark):
+    from pii_extract_base_spark.operators.multimodal import (
+        video_frame_sample)
+    pages = synth_pages(spark, SF_DIR).limit(10)
+    rows = video_frame_sample(pages, max_frames=3).collect()
+    assert len(rows) >= 10
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r.url, []).append(r)
+        assert 0.0 <= r.mean_intensity <= 255.0
+        assert len(r.features) == 8
+    for frames in per_url.values():
+        assert [f.frame_idx for f in frames] == list(range(len(frames)))
+        assert all(f.ts_ms == f.frame_idx * 40 for f in frames)
+    with pytest.raises(NotImplementedError):
+        video_frame_sample(pages, decode="real")
