@@ -29,7 +29,11 @@ AUDIT = {
     "q12_exact_dup_groups": ["HashAggregate", "ReadSchema"],
     "q14_knn_cosine_top5": ["BroadcastNestedLoopJoin|BroadcastExchange"],
     "q18_ivf_topk": ["BroadcastHashJoin"],
-    "q16_minhash_signatures": ["Generate", "HashAggregate"],
+    # md5slice family aggregates min() over STRINGS (cross-engine
+    # verifiable vs DuckDB) → Spark picks SortAggregate, since string
+    # min has no mutable hash buffer; the production xxhash64 family
+    # (longs) hash-aggregates — asserted separately below.
+    "q16_minhash_signatures": ["Generate", "SortAggregate|HashAggregate"],
 }
 
 
@@ -65,6 +69,21 @@ def main():
         head = plan.split("\n\n")[0]
         print("```\n" + head.strip()[:4000] + "\n```\n")
 
+    # minhash at production scale: xxhash64 family (long minima) must
+    # use hash aggregation, not sort-based
+    from pii_extract_base_spark.operators.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, num_perm=8, family="xxhash64")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        sigs.explain("formatted")
+    xplan = buf.getvalue()
+    hash_ok = "HashAggregate" in xplan and "SortAggregate" not in xplan
+    ok_all &= hash_ok
+    print("## minhash (xxhash64 production family)\n")
+    print(f"{'✓' if hash_ok else '✗ MISSING'} map-side-combinable "
+          "`HashAggregate` (long minima, no sort)\n")
+
     # pipeline: show the two ArrowEvalPython stages and their inputs
     from pii_extract_base_spark.pipeline import QualityPipeline
     from pii_extract_base_spark.sources.pages import synth_pages
@@ -73,7 +92,8 @@ def main():
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    n_arrow = len(re.findall(r"ArrowEvalPython", plan))
+    from pii_extract_base_spark.plans import arrow_eval_inputs
+    n_arrow = len(arrow_eval_inputs(plan))
     print("## quality pipeline\n")
     print(f"ArrowEvalPython stages: {n_arrow} (design: exactly 1 — "
           "langid+ppl+detect+scrub fused into a single Arrow "
