@@ -96,10 +96,14 @@ def main():
         # idle gap before each measurement: the host refills its CPU
         # quota while the box is quiet; back-to-back runs measure the
         # throttle, not the engine
-        time.sleep(cooldown)
-        r8 = run_once(N_CORES, pages_pq)
+        # 4N measured FIRST on the fresher quota: a 4N-core burst is
+        # what the host throttles; the N-core run barely registers
+        # (N=2 of 32 machine cores), so ordering N first would bias
+        # every 4N sample low
         time.sleep(cooldown)
         r32 = run_once(N4_CORES, pages_pq)
+        time.sleep(cooldown)
+        r8 = run_once(N_CORES, pages_pq)
         eff = (r8["sec"] / r32["sec"]) / 4
         pairs.append({"t8": r8["sec"], "t32": r32["sec"],
                       "eff": round(eff, 3), "docs": r8["docs"]})
