@@ -233,13 +233,22 @@ def q25_rolling_fingerprint(spark, sf_dir):
 
 
 def q27_repeat_users(spark, sf_dir):
-    """Set op (INTERSECT): users active on both of the two first days."""
+    """Set op (INTERSECT semantics): users active on both of the two
+    first days. Fully declarative — the two target days are ranked with
+    a window over the (tiny) distinct-days relation and broadcast back,
+    so there is no driver-side collect() in the plan (at 100 TB a
+    mid-plan collect is a driver round-trip + a re-scan barrier)."""
     ev = _t(spark, sf_dir, "events")
-    days = [r[0] for r in (ev.select(F.to_date("ts").alias("d"))
-                             .distinct().orderBy("d").limit(2).collect())]
-    d1 = ev.where(F.to_date("ts") == F.lit(days[0])).select("user_id")
-    d2 = ev.where(F.to_date("ts") == F.lit(days[-1])).select("user_id")
-    return d1.intersect(d2)
+    days = (ev.select(F.to_date("ts").alias("d")).distinct()
+              .withColumn("rnk", F.row_number().over(
+                  Window.orderBy("d")))  # distinct days: tiny relation
+              .where(F.col("rnk") <= 2))
+    return (ev.select("user_id", F.to_date("ts").alias("d"))
+              .join(F.broadcast(days), "d")
+              .groupBy("user_id")
+              .agg(F.countDistinct("rnk").alias("nd"))
+              .where(F.col("nd") == 2)
+              .select("user_id"))
 
 
 def q15_lang_source_stats(spark, sf_dir):
@@ -330,12 +339,15 @@ def q29_video_frames(spark, sf_dir):
 
 def q28_approx_stats(spark, sf_dir):
     """Sketch aggregates (HLL + quantile sketch) — dedup/profiling
-    metrics at corpus scale; rows-only (sketches aren't portable)."""
+    metrics at corpus scale; rows-only (sketch values aren't
+    cross-engine portable). Quantiles are projected as SCALAR columns —
+    the driver's pandas canonicalizer can't sort array cells."""
     docs = _t(spark, sf_dir, "documents")
     return docs.agg(
         F.approx_count_distinct("text").alias("approx_distinct_texts"),
-        F.expr("approx_percentile(n_chars, array(0.5, 0.95, 0.99))")
-         .alias("len_quantiles"),
+        F.expr("approx_percentile(n_chars, 0.5)").alias("len_p50"),
+        F.expr("approx_percentile(n_chars, 0.95)").alias("len_p95"),
+        F.expr("approx_percentile(n_chars, 0.99)").alias("len_p99"),
         F.count("*").alias("n_docs"))
 
 
@@ -465,7 +477,8 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END AS s
                 FROM events
             )
-            SELECT user_id, sum(s) AS n_sessions, count(*) AS n_events
+            SELECT user_id, sum(s)::BIGINT AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id
         """,
         "q09_exists_big_lineitem": """
@@ -523,7 +536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q15_lang_source_stats": """
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY lang, source
         """,
         "q16_minhash_signatures": f"""
@@ -598,7 +611,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q19_rollup_lang_source": """
             SELECT lang, source, count(*) AS n_docs,
-                   sum(n_chars) AS total_chars
+                   sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "q25_rolling_fingerprint": """

@@ -1,10 +1,17 @@
 """Local replica of the driver's correctness gate: run each queries()
 entry on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row
-count + order-insensitive value hash (columns sorted by name)."""
+count + order-insensitive value hash (columns sorted by name).
+
+The DuckDB side is fetched through pandas (`.df()`), matching the
+external driver — this is load-bearing: duckdb's HUGEINT (from
+sum(BIGINT)) converts to float64 under pandas but to Python int under
+fetchall(), and round-1's q08/q15/q19 driver hash mismatches were
+exactly that class of bug, invisible to a fetchall()-based replica."""
 
 import math
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -15,12 +22,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _norm_cell(v):
+    # unwrap numpy scalars WITHOUT erasing the int/float distinction —
+    # an int64 2279 and a float64 2279.0 must hash differently, exactly
+    # as they do in the driver's pandas-based canonicalizer
+    if isinstance(v, np.integer):
+        v = int(v)
+    elif isinstance(v, np.floating):
+        v = float(v)
+    elif isinstance(v, np.bool_):
+        v = bool(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return repr(round(v, 9))
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        # duckdb.df() renders DATE columns as midnight Timestamps while
+        # Spark collects datetime.date — fold them together
+        iso = v.isoformat()
+        return iso[:-9] if iso.endswith("T00:00:00") else iso
     return repr(v)
 
 
@@ -54,9 +73,9 @@ def test_query_matches_oracle(spark, ddb, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(entry_mod.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    ddf = ddb.execute(entry_mod.oracle_sql()[name]).df()  # pandas, as driver
+    dcols = list(ddf.columns)
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
 
     assert sorted(scols) == sorted(dcols), (scols, dcols)
     assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
