@@ -204,10 +204,15 @@ def q14_knn_cosine_top5(spark, sf_dir):
 
 
 def q17_embedding_near_dups(spark, sf_dir):
+    """Bucketed (multi-table hyperplane LSH) near-dup pairs — the scale
+    path IS the verified path: the DuckDB oracle replays the identical
+    bucketing with the LCG hyperplanes inlined as literals, so the
+    driver hash-checks the plan with no crossJoin in it."""
     from pii_extract_base_spark.operators.dedup import (
         embedding_near_dup_pairs)
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, method="lsh",
+                                    n_planes=6, n_tables=4, dim=64)
 
 
 def q18_ivf_topk(spark, sf_dir):
@@ -289,17 +294,24 @@ def q21_pipeline_entities_by_type(spark, sf_dir):
 
 
 def q22_lsh_dup_candidates(spark, sf_dir):
+    """Banded MinHash LSH candidates + exact Jaccard verify, in the
+    md5slice hash family so the DuckDB oracle replays the exact bands
+    (xxhash64 family stays the production default for 64-bit minima)."""
     from pii_extract_base_spark.operators.dedup import (
         lsh_candidate_pairs, ngram_jaccard_pairs)
     docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, num_perm=8, band_size=2)
+    pairs = lsh_candidate_pairs(docs, num_perm=8, band_size=2,
+                                family="md5slice")
     return ngram_jaccard_pairs(docs, pairs)
 
 
 def q23_simhash(spark, sf_dir):
+    """One-pass SimHash in the md5 16-bit family (DuckDB-replayable);
+    production uses family="xxhash64" at 64 bits, same single-traversal
+    plan."""
     from pii_extract_base_spark.operators.dedup import simhash_fingerprints
     docs = _t(spark, sf_dir, "documents")
-    return simhash_fingerprints(docs, bits=16)
+    return simhash_fingerprints(docs, bits=16, family="md5")
 
 
 def q24_langid_pred(spark, sf_dir):
@@ -351,6 +363,84 @@ def q28_approx_stats(spark, sf_dir):
         F.count("*").alias("n_docs"))
 
 
+def q30_exact_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (sort-based aggregate;
+    cross-engine: Spark `percentile` == DuckDB `quantile_cont`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.round(F.expr("percentile(n_chars, 0.5)"), 4)
+                      .alias("p50"),
+                     F.round(F.expr("percentile(n_chars, 0.9)"), 4)
+                      .alias("p90"),
+                     F.round(F.expr("percentile(n_chars, 0.99)"), 4)
+                      .alias("p99"),
+                     F.count("*").alias("n_docs")))
+
+
+def q31_cube_stats(spark, sf_dir):
+    """CUBE grouping sets over the documents table (all four grouping
+    combinations in one shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.cube("lang", "source")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")))
+
+
+def q33_lsh_bucket_knn(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k — the ANN scale path,
+    driver-verified via a DuckDB replay of the same bucket plan."""
+    from pii_extract_base_spark.operators.similarity import lsh_bucket_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return lsh_bucket_topk(emb, queries_df, k=5, n_planes=4, dim=64)
+
+
+def q34_nations_gap(spark, sf_dir):
+    """Set op (EXCEPT): nations with a high-balance customer but no
+    high-balance supplier. Broadcast dims on both sides."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cn = (cust.where(F.col("c_acctbal") > 9000)
+              .join(F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey)
+              .select("n_name"))
+    sn = (supp.where(F.col("s_acctbal") > 9000)
+              .join(F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey)
+              .select("n_name"))
+    return cn.subtract(sn)   # EXCEPT DISTINCT
+
+
+def q35_priority_pivot(spark, sf_dir):
+    """PIVOT: order counts per year x priority. Pivot values are
+    declared explicitly (no driver-side distinct scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (orders.groupBy(F.year("o_orderdate").alias("yr"))
+                     .pivot("o_orderpriority",
+                            ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                             "4-NOT SPECIFIED", "5-LOW"])
+                     .count())
+    renames = {"1-URGENT": "urgent", "2-HIGH": "high",
+               "3-MEDIUM": "medium", "4-NOT SPECIFIED": "notspec",
+               "5-LOW": "low"}
+    return pivoted.select(
+        "yr", *[F.coalesce(F.col(f"`{old}`"), F.lit(0)).alias(new)
+                for old, new in renames.items()])
+
+
+def q36_top_tokens(spark, sf_dir):
+    """Lateral explode (UDTF shape) + global top-k with deterministic
+    tiebreak — corpus vocabulary head."""
+    from pii_extract_base_spark.functions.textstats import words_col
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.explode(words_col("text")).alias("token"))
+                .groupBy("token")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("token"))
+                .limit(20))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -384,11 +474,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_repeat_users": q27_repeat_users,
         "q28_approx_stats": q28_approx_stats,
         "q29_video_frames": q29_video_frames,
+        "q30_exact_quantiles": q30_exact_quantiles,
+        "q31_cube_stats": q31_cube_stats,
+        "q33_lsh_bucket_knn": q33_lsh_bucket_knn,
+        "q34_nations_gap": q34_nations_gap,
+        "q35_priority_pivot": q35_priority_pivot,
+        "q36_top_tokens": q36_top_tokens,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from pii_extract_base_spark.functions.quality import rules_duckdb_exprs
+    from pii_extract_base_spark.operators.similarity import _hyperplanes
 
     words = "list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> w <> '')"
     shingles5 = (f"(case when len({words}) >= 5 then "
@@ -402,6 +499,35 @@ def oracle_sql() -> dict[str, str]:
         f"list_aggregate(list_transform({shingles5}, "
         f"s -> substr(md5(s), {4 * i + 1}, 4)), 'min')"
         for i in range(8))
+
+    # -- LSH bucket replay: the SAME deterministic LCG hyperplanes the
+    # Spark operators use, inlined as SQL literals (repr round-trips
+    # doubles exactly; both engines sum dot products sequentially)
+    def bucket_expr(planes, vexpr="v"):
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({vexpr}, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)) + ")"
+
+    DIM = 64
+    nd_planes = _hyperplanes(DIM, 6 * 4)          # q17: 4 tables x 6 planes
+    nd_tables = "\n              UNION ALL ".join(
+        f"SELECT id, {t} AS t, {bucket_expr(nd_planes[t*6:(t+1)*6])} "
+        f"AS bucket FROM e"
+        for t in range(4))
+    knn_bucket = bucket_expr(_hyperplanes(DIM, 4))  # q33: 1 table x 4 planes
+
+    # -- SimHash replay (md5 16-bit family): word hash = int of the
+    # first 4 hex chars; one vote term per bit
+    hexd = "strpos('0123456789abcdef', substr(md5(w), {k}, 1)) - 1"
+    word_hash = (f"(({hexd.format(k=1)})*4096 + ({hexd.format(k=2)})*256 "
+                 f"+ ({hexd.format(k=3)})*16 + ({hexd.format(k=4)}))")
+    simhash_bits = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16))
 
     return {
         "q01_pricing_summary": """
@@ -545,18 +671,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE len({shingles5}) > 0
         """,
-        "q17_embedding_near_dups": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        "q17_embedding_near_dups": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                        FROM embeddings),
-            scored AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       round(list_dot_product(a.v, b.v)
-                             / (sqrt(list_dot_product(a.v, a.v))
-                              * sqrt(list_dot_product(b.v, b.v))),
-                             6) AS cosine
-                FROM e a, e b WHERE a.vec_id < b.vec_id
+            n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm
+                  FROM e),
+            b AS (
+              {nd_tables}
+            ),
+            pairs AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM b x JOIN b y USING (t, bucket)
+                WHERE x.id < y.id
             )
-            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+            SELECT id_a, id_b,
+                   round(list_dot_product(xa.v, xb.v)
+                         / (xa.nrm * xb.nrm), 6) AS cosine
+            FROM pairs
+            JOIN n xa ON xa.id = id_a
+            JOIN n xb ON xb.id = id_b
+            WHERE round(list_dot_product(xa.v, xb.v)
+                        / (xa.nrm * xb.nrm), 6) >= 0.4
         """,
         "q18_ivf_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -638,7 +773,98 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events
             WHERE cast(ts AS date) = (SELECT max(d) FROM d2)
         """,
+        "q22_lsh_dup_candidates": f"""
+            WITH sig AS (
+                SELECT doc_id, [{minhash_sig}] AS sig
+                FROM documents WHERE len({shingles5}) > 0
+            ),
+            bands AS (
+                SELECT doc_id, t.b AS band,
+                       sig[2*t.b + 1] || '#' || sig[2*t.b + 2] AS bkey
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+            ),
+            pairs AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bands x JOIN bands y USING (band, bkey)
+                WHERE x.doc_id < y.doc_id
+            ),
+            sh AS (SELECT doc_id, {shingles5} AS sh FROM documents)
+            SELECT id_a, id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM pairs
+            JOIN sh a ON a.doc_id = id_a
+            JOIN sh b ON b.doc_id = id_b
+        """,
+        "q23_simhash": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       list_transform({words}, w -> {word_hash}) AS hs
+                FROM documents
+            )
+            SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM h
+        """,
+        "q30_exact_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4)::DOUBLE AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4)::DOUBLE AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4)::DOUBLE AS p99,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "q31_cube_stats": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "q33_lsh_bucket_knn": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            b AS (SELECT id, v, {knn_bucket} AS bucket FROM e),
+            cand AS (
+                SELECT q.id AS q_id, c.id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v)
+                             / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))),
+                             6) AS cosine
+                FROM b q JOIN b c USING (bucket)
+                WHERE q.id < 20 AND c.id <> q.id
+            )
+            SELECT q_id, neighbor_id, rank FROM (
+                SELECT q_id, neighbor_id,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id ASC) AS rank
+                FROM cand
+            ) WHERE rank <= 5
+        """,
+        "q34_nations_gap": """
+            SELECT n_name FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > 9000
+            EXCEPT
+            SELECT n_name FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_acctbal > 9000
+        """,
+        "q35_priority_pivot": """
+            SELECT year(o_orderdate) AS yr,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+                       AS notspec,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS low
+            FROM orders GROUP BY 1
+        """,
+        "q36_top_tokens": f"""
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest({words}) AS token FROM documents
+            ) GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 20
+        """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
-        # pipeline stages), q22/q23 (xxhash64-dialect signatures), q24
-        # (langid model), q26/q29 (multimodal mapInPandas), q28 (sketches).
+        # pipeline stages), q24 (langid model), q26/q29 (multimodal
+        # mapInPandas), q28 (HLL/quantile sketches).
     }

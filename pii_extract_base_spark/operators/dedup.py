@@ -125,19 +125,26 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             method: str = "exact",
-                             n_planes: int = 8) -> DataFrame:
+                             method: str = "lsh",
+                             n_planes: int = 6, n_tables: int = 4,
+                             dim: int = None, seed: int = 42) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine)
     with cosine >= threshold.
 
+    method="lsh" (DEFAULT — the 1e9+ vector scale path): multi-table
+    random-hyperplane sign buckets. Each of `n_tables` tables hashes a
+    vector to an `n_planes`-bit bucket; candidate pairs collide in at
+    least one table; exact cosine then verifies every candidate, so
+    precision is 1.0 by construction and recall grows with n_tables
+    (1-(1-(1-θ/π)^planes)^tables). Only (id, table, bucket) rows
+    shuffle for the candidate join — vectors are re-joined only for
+    the surviving candidate pairs. The hyperplanes are a deterministic
+    LCG stream (similarity._hyperplanes), so an external SQL engine can
+    replay the identical plan with the planes inlined as literals —
+    this is how the driver's DuckDB oracle verifies the bucketed path.
+
     method="exact": self cross-join with native dot products — the
-    correctness baseline (O(n^2), only for eval-scale corpora).
-    method="lsh": random-hyperplane sign buckets (same family as
-    similarity.lsh_bucket_topk) turn the cross-join into an equi-join
-    on an n_planes-bit key, then exact cosine verifies inside buckets —
-    the 1e9+ vector scale path (recall grows with multi-probe /
-    fewer planes; each pair is still exactly verified, so precision
-    is 1.0 by construction).
+    O(n^2) correctness baseline, eval-scale corpora only.
     """
     from .similarity import _dot, _norm, _hyperplanes
 
@@ -145,56 +152,102 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
                       _norm(v).alias("nrm"))
     if method == "lsh":
-        dim = len(emb.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, n_planes)
-        bits = [F.when(_dot(F.col("v"), F.array(*[F.lit(x) for x in p]))
-                       >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i, p in enumerate(planes)]
-        bucket = bits[0]
-        for b in bits[1:]:
-            bucket = bucket + b
-        base = base.withColumn("bucket", bucket)
-        a, b = base.alias("a"), base.alias("b")
-        joined = (a.join(b, "bucket")
-                   .where(F.col("a.id") < F.col("b.id")))
+        if dim is None:
+            head = emb.select(vec_col).head(1)
+            if not head:   # empty input: empty result, exact-path parity
+                return (base.select(F.col("id").alias("id_a"),
+                                    F.col("id").alias("id_b"),
+                                    F.lit(0.0).alias("cosine"))
+                            .where(F.lit(False)))
+            dim = len(head[0][0])
+        planes = _hyperplanes(dim, n_planes * n_tables, seed)
+        tables = []
+        for t in range(n_tables):
+            bucket = None
+            for i in range(n_planes):
+                p = planes[t * n_planes + i]
+                bit = F.when(
+                    _dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0,
+                    F.lit(1 << i)).otherwise(F.lit(0))
+                bucket = bit if bucket is None else bucket + bit
+            tables.append(F.struct(F.lit(t).alias("t"),
+                                   bucket.alias("bucket")))
+        # narrow (id, t, bucket) relation: the only thing that shuffles
+        b = (base.select("id", F.explode(F.array(*tables)).alias("tb"))
+                 .select("id", "tb.t", "tb.bucket"))
+        pairs = (b.alias("x").join(b.alias("y"), ["t", "bucket"])
+                  .where(F.col("x.id") < F.col("y.id"))
+                  .select(F.col("x.id").alias("id_a"),
+                          F.col("y.id").alias("id_b"))
+                  .distinct())
+        av = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                         F.col("nrm").alias("na"))
+        bv = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                         F.col("nrm").alias("nb"))
+        joined = pairs.join(av, "id_a").join(bv, "id_b")
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     else:
         a, b = base.alias("a"), base.alias("b")
-        joined = a.crossJoin(b).where(F.col("a.id") < F.col("b.id"))
-    cos = (_dot(F.col("a.v"), F.col("b.v"))
-           / (F.col("a.nrm") * F.col("b.nrm")))
-    return (joined.select(F.col("a.id").alias("id_a"),
-                          F.col("b.id").alias("id_b"),
-                          F.round(cos, 6).alias("cosine"))
+        joined = (a.crossJoin(b).where(F.col("a.id") < F.col("b.id"))
+                   .select(F.col("a.id").alias("id_a"),
+                           F.col("b.id").alias("id_b"),
+                           F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                           F.col("a.nrm").alias("na"),
+                           F.col("b.nrm").alias("nb")))
+        cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (joined.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
                   .where(F.col("cosine") >= threshold))
 
 
-def simhash_col(text_col: str = "text", bits: int = 64) -> F.Column:
-    """64-bit SimHash over word unigrams: for each bit, sum votes
-    (+1/-1 by the word-hash bit) and set the bit if positive. Native
-    SQL via aggregate over the words array."""
+def simhash_col(text_col: str = "text", bits: int = 64,
+                family: str = "xxhash64") -> F.Column:
+    """SimHash over word unigrams in ONE pass: a single `aggregate`
+    traversal of the word-hash array carries a `bits`-element vote
+    vector (`zip_with` against a mask array adds ±1 per bit), then one
+    fold ORs the positive-vote masks into the fingerprint. Hashes are
+    computed once per word — round 1's version ran `bits` separate
+    aggregate passes, re-evaluating the whole words/hash expression
+    tree each time (O(bits·words) expression evals; this is O(words)
+    traversals with an O(bits) vectorized step).
+
+    families:
+     - "xxhash64": full 64-bit word hashes — production hamming-
+       distance near-dup at corpus scale (bits up to 64).
+     - "md5": word hash = first 4 hex chars of md5 (16 bits, via
+       native conv(hex,16,10)) — cross-engine replayable, the family
+       the driver's DuckDB oracle verifies (bits <= 16).
+    """
     from ..functions.textstats import words_col
     w = words_col(text_col)
-    hashes = F.transform(w, lambda x: F.xxhash64(x))
-    bit_cols = []
-    for b in range(bits):
-        mask = F.lit(1 << b).cast("long")
-        votes = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                h.bitwiseAND(mask) != 0,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bit_cols.append(
-            F.when(votes > 0, mask).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+    if family == "md5":
+        assert bits <= 16, "md5 family uses a 16-bit word hash"
+        hashes = F.transform(
+            w, lambda x: F.conv(F.substring(F.md5(x), 1, 4),
+                                16, 10).cast("long"))
+    elif family == "xxhash64":
+        hashes = F.transform(w, lambda x: F.xxhash64(x))
+    else:
+        raise ValueError(f"unknown simhash family: {family}")
+    masks = F.array(*[F.shiftleft(F.lit(1).cast("long"), b)
+                      for b in range(bits)])
+    zeros = F.array(*[F.lit(0)] * bits)
+    votes = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1))))
+    return F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m)
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         bits: int = 16) -> DataFrame:
+                         id_col: str = "doc_id", bits: int = 16,
+                         family: str = "xxhash64") -> DataFrame:
     """SimHash fingerprints (default 16 bits keeps the plan small; 64
-    for production near-dup hamming search)."""
+    with family="xxhash64" for production near-dup hamming search)."""
     return df.select(F.col(id_col),
-                     simhash_col(text_col, bits).alias("simhash"))
+                     simhash_col(text_col, bits, family).alias("simhash"))

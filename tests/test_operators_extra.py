@@ -148,17 +148,36 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
         embedding_near_dup_pairs)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     exact = {(r.id_a, r.id_b): r.cosine
-             for r in embedding_near_dup_pairs(emb, 0.4).collect()}
+             for r in embedding_near_dup_pairs(
+                 emb, 0.4, method="exact").collect()}
     assert exact, "threshold 0.4 should yield pairs on the synth corpus"
     assert all(c >= 0.4 for c in exact.values())
-    # LSH path: precision 1.0 by construction (exact verify in-bucket),
-    # every reported pair must exist in the exact set at same cosine
+    # LSH path (the default): precision 1.0 by construction (exact
+    # verify in-bucket) — every reported pair must exist in the exact
+    # set at the same cosine
     lsh = {(r.id_a, r.id_b): r.cosine
            for r in embedding_near_dup_pairs(
-               emb, 0.4, method="lsh", n_planes=4).collect()}
+               emb, 0.4, n_planes=6, n_tables=4).collect()}
     for pair, c in lsh.items():
         assert exact[pair] == c
-    assert len(lsh) >= len(exact) // 4  # recall floor with 4 planes
+    # recall floor: for the tightly-clustered pairs (cosine >= 0.7)
+    # collision probability per table is high; 4 tables must recover
+    # most of them on this corpus
+    hi = {p for p, c in exact.items() if c >= 0.7}
+    if hi:
+        got_hi = sum(1 for p in hi if p in lsh)
+        assert got_hi / len(hi) >= 0.6, (got_hi, len(hi))
+    assert len(lsh) >= len(exact) // 5  # overall recall floor
+
+
+def test_embedding_near_dups_empty_input(spark):
+    from pii_extract_base_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+                .where(F.col("vec_id") < 0))
+    out = embedding_near_dup_pairs(emb, 0.4)   # lsh default, no dim
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
 
 
 def test_ivf_topk_shape_and_recall(spark):
