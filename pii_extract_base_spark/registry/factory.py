@@ -1,16 +1,20 @@
 """Driver-side processor factory.
 
 Builds a PiiProcessor from the built-in registry plus optional user
-configs (JSON tasklists and ``task_config`` overrides, reference
-build/build.py:19-44). The result is pickled into a Spark broadcast; the
-``regex`` patterns recompile lazily on executors.
+configs, with the FULL tagged-config merge of the reference
+(api/processor.py:45-58 via registry/config_loader): plugin options,
+additional JSON tasklists and ``task_config`` overrides all merge per
+format tag across config sources. The result is pickled into a Spark
+broadcast; the ``regex`` patterns recompile lazily on executors.
 """
 
 import hashlib
 import json
 from typing import Dict, Iterable, List, Optional, Union
 
+from ..kernel.defs import FMT_CONFIG_TASKCFG, FMT_CONFIG_TASKS
 from ..kernel.processor import PiiProcessor
+from .config_loader import load_module_config
 from .detectors import builtin_tasklist
 
 
@@ -19,21 +23,26 @@ def make_processor(languages: Iterable[str],
                    extra_tasklists: Optional[List[Dict]] = None,
                    include_builtin: bool = True,
                    country: Optional[List[str]] = None,
-                   pii=None) -> PiiProcessor:
+                   pii=None, load_plugins: bool = False) -> PiiProcessor:
     """Create a PiiProcessor with tasks built for every language in
     ``languages`` (the per-chunk language dispatch then picks the right
-    task list per row, reference api/processor.py:229-236)."""
-    task_config = {}
-    if config:
-        cfgs = config if isinstance(config, list) else [config]
-        for c in cfgs:
-            if "task_config" in c:
-                task_config.setdefault("task_config", []).extend(
-                    c["task_config"])
+    task list per row, reference api/processor.py:229-236).
 
-    proc = PiiProcessor(config=task_config or None)
+    ``config`` accepts tagged configs (``piisa:config:pii-extract:*``
+    files/dicts), pre-merged multi-configs, or the legacy untagged
+    ``{"task_config": [...]}`` shorthand — all merged per tag."""
+    merged = load_module_config(config)
+
+    proc = PiiProcessor(config=merged.get(FMT_CONFIG_TASKCFG))
     if include_builtin:
         proc.add_json_tasks(builtin_tasklist())
+    if load_plugins:
+        from .plugin_source import PluginTaskSource
+        PluginTaskSource(config=merged,
+                         languages=list(languages)).add_to(proc)
+    tasks_cfg = merged.get(FMT_CONFIG_TASKS)
+    if tasks_cfg:
+        proc.add_json_tasks(tasks_cfg)
     for tl in (extra_tasklists or []):
         proc.add_json_tasks(tl)
     for lang in languages:

@@ -32,7 +32,11 @@ from ..kernel.defs import LANG_ANY, COUNTRY_ANY
 from ..kernel.parser import normalize_rawtaskd, piienum
 
 PII_TASKS_VAR = "PII_TASKS"
-_RESERVED = ("in", "is")
+# reserved-word escapes are ASYMMETRIC in the reference (folder.py:28-33,
+# :203-204): only "is" is escaped at the language level ("is" = Icelandic),
+# while both "in" (India) and "is" (Iceland) are escaped at country level
+_RESERVED_LANG = ("is",)
+_RESERVED_COUNTRY = ("in", "is")
 
 
 def _norm(name: str) -> str:
@@ -48,9 +52,9 @@ def _subdirs(base: Path) -> List[str]:
         return []
 
 
-def _dir_for(name: str) -> str:
+def _dir_for(name: str, reserved=_RESERVED_COUNTRY) -> str:
     """Reserved-word escape applied when mapping names back to dirs."""
-    return name + "_" if name in _RESERVED else name
+    return name + "_" if name in reserved else name
 
 
 def _load_module(path: Path, idx: int):
@@ -80,7 +84,7 @@ class FolderTaskSource:
         return _subdirs(self.basedir)
 
     def country_list(self, lang: str) -> List[str]:
-        return _subdirs(self.basedir / _dir_for(lang))
+        return _subdirs(self.basedir / _dir_for(lang, _RESERVED_LANG))
 
     def _module_tasks(self, path: Path) -> List[Dict]:
         out = []
@@ -116,7 +120,7 @@ class FolderTaskSource:
                 pairs = [(LANG_ANY, COUNTRY_ANY,
                           self.basedir / LANG_ANY)]
             else:
-                ldir = self.basedir / _dir_for(ln)
+                ldir = self.basedir / _dir_for(ln, _RESERVED_LANG)
                 pairs = [(ln, c, ldir / _dir_for(c))
                          for c in _subdirs(ldir)]
             for ln_, country, path in pairs:

@@ -84,3 +84,29 @@ def test_pii_filter(task_tree):
                            pii_filter=["EMAIL_ADDRESS"])
     got = [t for _, tasks in src.gather() for t in tasks]
     assert len(got) == 1
+
+
+def test_lang_dir_named_in_not_escaped(tmp_path):
+    """Reserved-word escapes are asymmetric (reference folder.py:28-33):
+    a LANGUAGE directory literally named "in" is used as-is (only "is"
+    escapes at language level), while countries escape both in/is."""
+    d = tmp_path / "in" / "any"
+    d.mkdir(parents=True)
+    (d / "t.py").write_text(
+        "PII_TASKS = [{'class': 'regex', 'task': r'\\bx\\d+\\b',\n"
+        "  'name': 'xid', 'pii': {'type': 'GOV_ID', 'lang': 'in'}}]\n")
+    src = FolderTaskSource(tmp_path, source="t")
+    assert src.language_list() == ["in"]
+    got = list(src.gather())
+    assert len(got) == 1
+    defaults, tasks = got[0]
+    assert defaults["lang"] == "in" and len(tasks) == 1
+    # an "is_" language dir still normalizes back to "is"
+    d2 = tmp_path / "is_" / "any"
+    d2.mkdir(parents=True)
+    (d2 / "t.py").write_text(
+        "PII_TASKS = [{'class': 'regex', 'task': r'\\by\\d+\\b',\n"
+        "  'name': 'yid', 'pii': {'type': 'GOV_ID', 'lang': 'is'}}]\n")
+    src = FolderTaskSource(tmp_path, source="t")
+    assert src.language_list() == ["in", "is"]
+    assert sum(len(t) for _, t in src.gather("is")) == 1
