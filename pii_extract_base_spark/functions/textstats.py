@@ -52,17 +52,32 @@ def shingle_count(text_col: str = "text", k: int = 5) -> Column:
 
 
 def rolling_fingerprint(text_col: str = "text",
-                        base: int = 131, mod: int = 1_000_000_007) -> Column:
+                        base: int = 131, mod: int = 1_000_000_007,
+                        chunk: int = 4096) -> Column:
     """Rabin–Karp polynomial rolling hash over the document's
-    codepoints: H = fold(c -> (H*base + c) mod mod). Native SQL
-    (`aggregate` over a codepoint array, inside WholeStageCodegen) and
+    codepoints: H = fold(c -> (H*base + c) mod mod). Native SQL and
     engine-portable — DuckDB replays it exactly via list_reduce (the
     synthetic corpus is ASCII; both engines agree on codepoints).
     Unlike md5, prefix hashes of the same polynomial support O(1)
-    rolling window comparisons for chunk-level dedup."""
+    rolling window comparisons for chunk-level dedup.
+
+    Memory envelope: the fold is CHUNKED — an outer aggregate walks
+    `chunk`-char substrings and only the current chunk's codepoint
+    array is live (a flat per-codepoint array over a 1 MB document
+    would materialize ~1M boxed one-char strings, ~50x the text bytes;
+    this keeps peak extra memory at ~2x text bytes + one 4K int
+    array regardless of document size)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    codes = F.transform(F.sequence(F.lit(1), F.length(t)),
-                        lambda i: F.ascii(F.substring(t, i, F.lit(1))))
-    h = F.aggregate(codes, F.lit(0).cast("long"),
-                    lambda acc, c: (acc * base + c) % mod)
-    return F.when(F.length(t) > 0, h).otherwise(F.lit(0).cast("long"))
+    n_chunks = F.ceil(F.length(t) / F.lit(chunk)).cast("int")
+    pieces = F.when(
+        F.length(t) > 0,
+        F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                    lambda j: F.substring(t, j * chunk + 1, F.lit(chunk)))
+    ).otherwise(F.array().cast("array<string>"))
+    h = F.aggregate(
+        pieces, F.lit(0).cast("long"),
+        lambda acc, piece: F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.length(piece)),
+                        lambda i: F.ascii(F.substring(piece, i, F.lit(1)))),
+            acc, lambda a, c: (a * base + c) % mod))
+    return h

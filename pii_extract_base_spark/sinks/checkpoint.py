@@ -118,9 +118,19 @@ class CheckpointedSink:
                 .write.mode("overwrite")
                 .partitionBy("part_id").parquet(str(self.path / "_wave_tmp")))
             wave_tmp = self.path / "_wave_tmp"
+
+            # ONE aggregation job over the wave output computes every
+            # per-partition metric (rows in/kept + entities by type) —
+            # round 1 re-read each committed partition 3x (count,
+            # where(keep).count, explode+collect = 3 jobs/partition).
+            # Trick: each row emits one NULL marker element plus its
+            # entity types; a single groupBy(part_id, etype) then holds
+            # row counts (etype IS NULL) and entity counts (etype =
+            # type) side by side.
+            spark = out.sparkSession
+            metrics = self._wave_metrics(spark, wave_tmp, out.columns)
             wall_ms = int((time.time() - t0) * 1000)
 
-            spark = out.sparkSession
             for k in wave:
                 src = wave_tmp / f"part_id={k}"
                 dst = self.path / f"part_id={k}"
@@ -129,30 +139,20 @@ class CheckpointedSink:
                 if src.exists():
                     os.replace(src, dst)
                 else:
-                    dst.mkdir(parents=True, exist_ok=True)
+                    # schema-bearing empty partition: read() stays
+                    # uniform and never hits schema inference on an
+                    # empty dir
+                    (out.where(F.lit(False))
+                        .write.mode("overwrite").parquet(str(dst)))
 
-                try:
-                    written = spark.read.parquet(str(dst))
-                    rows_in = written.count()
-                except Exception:  # noqa: BLE001 — empty partition
-                    written, rows_in = None, 0
-                rows_kept = rows_in
-                ent_counts: Dict[str, int] = {}
-                if written is not None and rows_in:
-                    if "keep" in written.columns:
-                        rows_kept = written.where("keep").count()
-                    if "entities" in written.columns:
-                        rows = (written
-                                .select(F.explode("entities").alias("e"))
-                                .groupBy("e.type").count().collect())
-                        ent_counts = {r["type"]: r["count"] for r in rows}
-
+                m = metrics.get(k, {"rows_in": 0, "rows_kept": 0,
+                                    "entities": {}})
                 self._append_manifest({
                     "partition_id": k,
                     "input_fingerprint": input_fingerprint,
-                    "rows_in": rows_in,
-                    "rows_kept": rows_kept,
-                    "entities": ent_counts,
+                    "rows_in": m["rows_in"],
+                    "rows_kept": m["rows_kept"],
+                    "entities": m["entities"],
                     "wall_ms": wall_ms // len(wave),
                     "stage": self.stage,
                     "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -165,6 +165,38 @@ class CheckpointedSink:
         if wave_tmp.exists():
             shutil.rmtree(wave_tmp)
         return committed
+
+    @staticmethod
+    def _wave_metrics(spark, wave_tmp: Path, columns) -> Dict[int, Dict]:
+        """Per-partition {rows_in, rows_kept, entities} from a single
+        scan + single shuffle over the freshly written wave output."""
+        try:
+            written = spark.read.parquet(str(wave_tmp))
+        except Exception:   # noqa: BLE001 — wave produced no rows at all
+            return {}
+        kept = (F.col("keep").cast("int") if "keep" in written.columns
+                else F.lit(1))
+        if "entities" in written.columns:
+            etype = F.explode_outer(F.concat(
+                F.array(F.lit(None).cast("string")),
+                F.transform("entities", lambda e: e["type"]))).alias("etype")
+        else:
+            etype = F.lit(None).cast("string").alias("etype")
+        rows = (written.select("part_id", kept.alias("k"), etype)
+                       .groupBy("part_id", "etype")
+                       .agg(F.count("*").alias("n"),
+                            F.sum("k").alias("n_kept"))
+                       .collect())
+        out: Dict[int, Dict] = {}
+        for r in rows:
+            m = out.setdefault(int(r["part_id"]),
+                               {"rows_in": 0, "rows_kept": 0, "entities": {}})
+            if r["etype"] is None:          # the per-row marker element
+                m["rows_in"] = r["n"]
+                m["rows_kept"] = int(r["n_kept"] or 0)
+            else:
+                m["entities"][r["etype"]] = r["n"]
+        return out
 
     # -- read ------------------------------------------------------------------
 

@@ -92,3 +92,43 @@ def test_wave_commits_match_single_partition_runs(spark, tmp_path, pipe):
     assert n2 == 1
     assert _table_rows(spark, wave) == ref_rows
     assert wave.run(pages, pipe, input_fingerprint=fp, wave_size=2) == 0
+
+
+def test_empty_input_commits_schema_bearing_partitions(spark, tmp_path,
+                                                       pipe):
+    """All-empty run: every partition commits, read() returns an empty
+    DataFrame WITH the output schema (no schema-inference crash)."""
+    from pyspark.sql import functions as F
+    pages = synth_pages(spark, SF_DIR).where(F.lit(False))
+    sink = CheckpointedSink(str(tmp_path / "empty"), n_partitions=3)
+    n = sink.run(pages, pipe)
+    assert n == 3
+    df = sink.read(spark)
+    assert df.count() == 0
+    assert "scrubbed_text" in df.columns and "keep" in df.columns
+    entries = sink.manifest_entries()
+    assert len(entries) == 3
+    assert all(e["rows_in"] == 0 and e["entities"] == {} for e in entries)
+
+
+def test_manifest_metrics_match_table(spark, tmp_path, pipe):
+    """The one-pass wave metrics equal ground truth re-computed from the
+    committed table."""
+    from pyspark.sql import functions as F
+    pages = synth_pages(spark, SF_DIR).limit(120).cache()
+    sink = CheckpointedSink(str(tmp_path / "m"), n_partitions=3)
+    sink.run(pages, pipe, wave_size=3)
+    df = sink.read(spark)
+    entries = sink.manifest_entries()
+    assert sum(e["rows_in"] for e in entries) == df.count()
+    assert sum(e["rows_kept"] for e in entries) == \
+        df.where("keep").count()
+    truth = {r["type"]: r["n"] for r in
+             df.select(F.explode("entities").alias("e"))
+               .groupBy(F.col("e.type").alias("type"))
+               .agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for e in entries:
+        for t, n in e["entities"].items():
+            got[t] = got.get(t, 0) + n
+    assert got == truth

@@ -236,3 +236,29 @@ def test_video_frame_sample(spark):
         assert all(f.ts_ms == f.frame_idx * 40 for f in frames)
     with pytest.raises(NotImplementedError):
         video_frame_sample(pages, decode="real")
+
+
+def test_rolling_fingerprint_long_doc_and_chunk_invariance(spark):
+    """Chunked fold == flat fold: fingerprints are chunk-size invariant,
+    and a multi-MB document runs within bounded memory."""
+    from pii_extract_base_spark.functions.textstats import (
+        rolling_fingerprint)
+    long_text = ("the quick brown fox jumps over the lazy dog 0123456789 "
+                 * 3000)   # ~165 KB >> chunk, exercises the outer fold
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, long_text)],
+        "doc_id int, text string")
+    a = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint("text", chunk=4096).alias("fp"))
+        .collect()}
+    b = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint("text", chunk=57).alias("fp"))
+        .collect()}
+    assert a == b
+    assert a[2] == a[3 - 1] == 0    # empty and null -> 0
+    # reference value computed by the plain per-char fold in Python
+    h = 0
+    for c in "hello world":
+        h = (h * 131 + ord(c)) % 1_000_000_007
+    assert a[1] == h
+    assert a[4] != 0
