@@ -35,7 +35,25 @@ SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 # ENGINE's scaling rather than the host's throttle curve.
 N_CORES = int(os.environ.get("SCALE_N", "2"))
 N4_CORES = 4 * N_CORES
-MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "64"))
+# >= ~400 core-seconds of kernel work per job: with the measured fixed
+# per-job overhead F (planning/JIT-resident scheduling/collect, ~5-20 s
+# wall), efficiency is capped at (W/2+F)/(W/2+4F) — a 64x corpus
+# (~130 core-s) caps out around 0.5-0.7 even for a perfectly parallel
+# job; 256x (~520 core-s) leaves the cap above 0.9
+MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "256"))
+
+
+def _stat_sample():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:9]]
+    # user nice system idle iowait irq softirq steal
+    return sum(vals), vals[7]
+
+
+def _steal_frac(before, after):
+    total = after[0] - before[0]
+    return (after[1] - before[1]) / total if total else 0.0
 
 CHILD = r"""
 import json, os, sys, time
@@ -77,13 +95,19 @@ def run_once(cores: int, pages_pq: str) -> dict:
     # modest pinned heap: a huge -Xms makes every fresh child JVM
     # page-fault-in tens of GB of zeroed heap — measured as 7+ cores
     # of kernel time from a local[2] run
+    s0 = _stat_sample()
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores)],
-        capture_output=True, text=True, timeout=900, check=True,
+        capture_output=True, text=True, timeout=1800, check=True,
         env={**os.environ, "SPARK_DRIVER_MEMORY": "12g"})
+    s1 = _stat_sample()
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            r = json.loads(line[len("RESULT "):])
+            # hypervisor steal share across the whole child process —
+            # recorded for transparency; the headline stays RAW wall
+            r["steal"] = round(_steal_frac(s0, s1), 4)
+            return r
     raise RuntimeError(f"no RESULT line; stderr tail: {out.stderr[-500:]}")
 
 
@@ -105,15 +129,24 @@ def main():
         time.sleep(cooldown)
         r8 = run_once(N_CORES, pages_pq)
         eff = (r8["sec"] / r32["sec"]) / 4
+        # secondary, steal-corrected view: charge each run only its
+        # non-stolen wall share (wall * (1 - steal))
+        eff_c = (r8["sec"] * (1 - r8["steal"])) / \
+                (r32["sec"] * (1 - r32["steal"])) / 4
         pairs.append({"t8": r8["sec"], "t32": r32["sec"],
-                      "eff": round(eff, 3), "docs": r8["docs"]})
-        print(f"pair {i}: tN={r8['sec']} t4N={r32['sec']} eff={eff:.3f}",
+                      "eff": round(eff, 3), "eff_corr": round(eff_c, 3),
+                      "steal8": r8["steal"], "steal32": r32["steal"],
+                      "docs": r8["docs"]})
+        print(f"pair {i}: tN={r8['sec']} t4N={r32['sec']} eff={eff:.3f} "
+              f"eff_corr={eff_c:.3f} steal=({r8['steal']},{r32['steal']})",
               file=sys.stderr)
 
     med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+    med_corr = sorted(p["eff_corr"] for p in pairs)[len(pairs) // 2]
     docs = pairs[0]["docs"]
     lines = "\n".join(
-        f"| {i} | {p['t8']:.1f} | {p['t32']:.1f} | {p['eff']:.3f} |"
+        f"| {i} | {p['t8']:.1f} | {p['t32']:.1f} | {p['eff']:.3f} "
+        f"| {p['eff_corr']:.3f} | {p['steal8']:.1%}/{p['steal32']:.1%} |"
         for i, p in enumerate(pairs))
     bench_md = f"""# BENCH — measured throughput & scaling (single-node sandbox)
 
@@ -134,14 +167,23 @@ the headline — and (b) N={N_CORES} keeps both levels below the
 throttle knee, measuring the engine's scaling rather than the host's
 quota curve.
 
-| pair | local[{N_CORES}] s | local[{N4_CORES}] s | efficiency |
-|---|---|---|---|
+The corpus carries >= ~400 core-seconds of kernel work per job
+(multiplier {MULTIPLIER}): with the measured fixed per-job wall
+overhead F, efficiency of even a perfectly parallel job is capped at
+(W/2+F)/(W/2+4F), so small corpora understate scaling — round 1's
+64x corpus capped near 0.6.
+
+| pair | local[{N_CORES}] s | local[{N4_CORES}] s | efficiency | steal-corrected | steal N/4N |
+|---|---|---|---|---|---|
 {lines}
 
 **Median pair: t{N_CORES}={med['t8']:.1f}s
 ({docs / med['t8']:.0f} docs/s), t{N4_CORES}={med['t32']:.1f}s
 ({docs / med['t32']:.0f} docs/s), scaling efficiency =
-{med['eff']:.3f}** (target >= 0.8, BASELINE.json north_rule).
+{med['eff']:.3f}** (target >= 0.8, BASELINE.json north_rule); median
+steal-corrected efficiency {med_corr:.3f} (secondary view: each run
+charged only its non-stolen wall share, hypervisor steal measured
+from /proc/stat across the child process).
 
 Engine-side scaling levers (all in `pii_extract_base_spark/config.py`
 / `pipeline.py`): one fused Arrow crossing for all Python kernels,
@@ -157,7 +199,8 @@ a parquet+manifest shim with identical append/commit/resume
 semantics (`pii_extract_base_spark/sinks/checkpoint.py`).
 """
     (REPO / "BENCH.md").write_text(bench_md)
-    print(json.dumps({"pairs": pairs, "median_eff": med["eff"]}))
+    print(json.dumps({"pairs": pairs, "median_eff": med["eff"],
+                      "median_eff_corr": med_corr}))
 
 
 if __name__ == "__main__":
