@@ -44,7 +44,10 @@ BENCH_QUERIES = [
     "q12_exact_dup_groups",
     "q14_knn_cosine_top5",
     "q16_minhash_signatures",
+    "q17_embedding_near_dups",
     "q22_lsh_dup_candidates",
+    "q23_simhash",
+    "q33_lsh_bucket_knn",
 ]
 
 

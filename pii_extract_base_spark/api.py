@@ -119,17 +119,26 @@ def process_file(infile, outfile, configfile=None, skip_plugins: bool = False,
 # console helpers (reference api/file.py:20-50)
 
 def print_tasks(langlist: List[str], proc: PiiProcessor, out) -> None:
+    """Reference api/file.py:20-39 rendering over task_info()."""
+    from textwrap import TextWrapper
+    tw = TextWrapper(initial_indent="     ", subsequent_indent="     ",
+                     width=78)
     print(f". Built tasks [language={','.join(langlist)}]", file=out)
-    for lang, tasklist in sorted(proc._tasks.items()):
-        for task in tasklist:
-            info = task.task_info
-            info = info.asdict() if hasattr(info, "asdict") else dict(info)
-            print(f"\n Name: {info.get('name')}", file=out)
-            print(f"   Source: {info.get('source')}", file=out)
-            print(f"   Version: {info.get('version')}", file=out)
-            method = info.get("method")
+    for (pii, subtype), tasklist in proc.task_info().items():
+        name = getattr(pii, "name", str(pii))
+        print(f"\n {name}{' > ' + subtype if subtype else ''}", file=out)
+        for n, (lang, country, tname, doc, method) in enumerate(tasklist):
+            if n:
+                print(file=out)
+            print(f"   Language: {lang}", file=out)
+            print(f"   Country: {country}", file=out)
+            print(f"   Name: {tname}", file=out)
             if method:
                 print(f"   Method: {method}", file=out)
+            if doc:
+                print("   Description:", file=out)
+                for ln in doc.splitlines():
+                    print(tw.fill(ln), file=out)
 
 
 def print_stats(stats: Dict[str, Dict], out) -> None:

@@ -12,7 +12,8 @@ and its ``detect_chunk`` is the per-row contract of the batch UDF
 """
 
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Union
+from itertools import chain
+from typing import Dict, Iterable, List, Optional, Tuple, Union
 
 from .defs import STAGE
 from .exceptions import ProcException, InvArgException
@@ -111,6 +112,41 @@ class PiiProcessor:
         tasks = self._ptc.build_tasks(lang, country, pii=pii, add_any=add_any)
         self._tasks[lang] = list(tasks)
         return len(self._tasks[lang])
+
+    def task_info(self, lang: str = None,
+                  asdict: bool = False) -> Dict[Tuple, List]:
+        """Instantiated-task inventory: keys are (pii enum, subtype),
+        values are (lang, country, name, doc, method) tuples (or dicts
+        with asdict=True). Parity: reference api/processor.py:176-212."""
+        if not self._tasks:
+            raise ProcException("no detector tasks have been built")
+        if lang and lang not in self._tasks:
+            raise InvArgException(
+                "no detector tasks have been built for {}", lang)
+        tasklist = self._tasks[lang] if lang else \
+            chain.from_iterable(self._tasks.values())
+
+        out = defaultdict(list)
+        seen = set()
+        for t in tasklist:
+            if id(t) in seen:      # "any"-lang tasks shared across langs
+                continue
+            seen.add(id(t))
+            infos = t.pii_info
+            if isinstance(infos, PiiEntityInfo):
+                infos = [infos]
+            for info in infos:
+                try:
+                    method = t.get_method(info)
+                except Exception:   # noqa: BLE001 — multi w/o method
+                    method = None
+                value = (info.lang, info.country, t.task_info.name,
+                         t.task_info.doc, method)
+                if asdict:
+                    value = dict(zip(("lang", "country", "name", "doc",
+                                      "method"), value))
+                out[(info.pii, info.subtype)].append(value)
+        return dict(out)
 
     # -- detection ---------------------------------------------------------------
 

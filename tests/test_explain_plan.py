@@ -84,3 +84,31 @@ def test_textstats_native_no_python(spark):
     plan = formatted_plan(mod.q10_token_stats(spark, SF_DIR))
     assert count_nodes(plan, "ArrowEvalPython|BatchEvalPython") == 0
     assert count_nodes(plan, "Batched: true") >= 1
+
+
+def test_near_dup_lsh_no_cartesian(spark):
+    """q17's verified path is the bucketed plan: candidate generation
+    is an equi-join on (table, bucket) — no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the plan."""
+    import __spark_entry__ as mod
+    plan = formatted_plan(mod.q17_embedding_near_dups(spark, SF_DIR))
+    assert count_nodes(plan, "CartesianProduct|BroadcastNestedLoop") == 0, \
+        plan[:800]
+    assert count_nodes(plan, "SortMergeJoin|BroadcastHashJoin|"
+                             "ShuffledHashJoin") >= 1
+
+
+def test_lsh_bucket_knn_no_cartesian(spark):
+    import __spark_entry__ as mod
+    plan = formatted_plan(mod.q33_lsh_bucket_knn(spark, SF_DIR))
+    assert count_nodes(plan, "CartesianProduct") == 0, plan[:800]
+
+
+def test_simhash_single_projection(spark):
+    """One-pass simhash: the plan is a single Project over the scan
+    (one aggregate traversal), not `bits` stacked aggregates."""
+    import __spark_entry__ as mod
+    plan = formatted_plan(mod.q23_simhash(spark, SF_DIR))
+    assert count_nodes(plan, "ArrowEvalPython|BatchEvalPython") == 0
+    assert count_nodes(plan, "HashAggregate|SortAggregate|"
+                             "ObjectHashAggregate") == 0, plan[:800]

@@ -325,3 +325,31 @@ def test_callable_tuple():
 def test_taskinfo_dict():
     info = PiiTaskInfo(source="unit-test", name="example")
     assert info.asdict() == {"source": "unit-test", "name": "example"}
+
+
+def test_task_info_inventory():
+    """task_info(): (pii, subtype)-keyed inventory with per-language
+    dedup of shared any-lang tasks (reference api/processor.py:176-212)."""
+    from pii_extract_base_spark.registry.factory import make_processor
+    from pii_extract_base_spark.kernel.model import PiiEnum
+    from pii_extract_base_spark.kernel.exceptions import (
+        ProcException, InvArgException)
+    import pytest as _pytest
+
+    proc = make_processor(["en", "es"])
+    info = proc.task_info()
+    cc = info[(PiiEnum.CREDIT_CARD, None)]
+    assert len(cc) == 1            # any-lang task deduped across en/es
+    assert cc[0][2] == "standard credit card"
+    assert cc[0][4] == "regex,checksum"
+    phones = info[(PiiEnum.PHONE_NUMBER, "international phone number")]
+    assert sorted(p[0] for p in phones) == ["en", "es"]
+    # asdict + lang restriction
+    d = proc.task_info(lang="en", asdict=True)
+    assert all(set(v[0]) == {"lang", "country", "name", "doc", "method"}
+               for v in d.values())
+    with _pytest.raises(InvArgException):
+        proc.task_info(lang="fr")
+    from pii_extract_base_spark.kernel.processor import PiiProcessor
+    with _pytest.raises(ProcException):
+        PiiProcessor().task_info()
