@@ -41,11 +41,29 @@ def _flatten_chunks(nodes: Iterable[Dict]) -> Iterable[DocumentChunk]:
         yield from _flatten_chunks(node.get("chunks") or [])
 
 
+def openfile(path, mode: str = "rt"):
+    """Open a possibly-compressed text file (pii-data helper.io.openfile
+    contract: transparent .gz handling by extension)."""
+    path = str(path)
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, mode, encoding="utf-8")
+    return open(path, mode, encoding="utf-8")
+
+
+def _base_extension(path) -> str:
+    """Extension ignoring a trailing .gz (pii-data base_extension)."""
+    sfx = Path(path).suffixes
+    if sfx and sfx[-1] == ".gz":
+        sfx = sfx[:-1]
+    return sfx[-1].lower() if sfx else ""
+
+
 def load_source_document(infile) -> SrcDocument:
     """Load a YAML/JSON source document file into a SrcDocument."""
-    path = Path(infile)
-    text = path.read_text(encoding="utf-8")
-    if path.suffix.lower() in (".yaml", ".yml"):
+    with openfile(infile) as f:
+        text = f.read()
+    if _base_extension(infile) in (".yaml", ".yml"):
         import yaml
         data = yaml.safe_load(text)
     else:
@@ -105,7 +123,7 @@ def process_file(infile, outfile, configfile=None, skip_plugins: bool = False,
 
     piic = proc(doc, chunk_context=chunk_context)
 
-    with open(outfile, "w", encoding="utf-8") as fout:
+    with openfile(outfile, "wt") as fout:
         piic.dump(fout, format=outfmt)
 
     stats = {"num": dict(proc.get_stats()["num"]),

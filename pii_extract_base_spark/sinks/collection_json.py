@@ -13,11 +13,15 @@ from pyspark.sql import DataFrame
 
 
 def piic_format(path: str) -> str:
-    """Choose output format by file extension (reference api/file.py:53-68)."""
-    sfx = "".join(Path(path).suffixes).lower()
-    if sfx.endswith(".ndjson") or sfx.endswith(".jsonl"):
+    """Choose output format by file extension, ignoring a trailing .gz
+    (reference api/file.py:53-68 via pii-data base_extension)."""
+    sfx = [s.lower() for s in Path(path).suffixes]
+    if sfx and sfx[-1] == ".gz":
+        sfx = sfx[:-1]
+    last = sfx[-1] if sfx else ""
+    if last in (".ndjson", ".jsonl"):
         return "ndjson"
-    if sfx.endswith(".json"):
+    if last == ".json":
         return "json"
     raise ValueError(f"cannot determine collection format from: {path}")
 

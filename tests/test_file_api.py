@@ -122,3 +122,18 @@ def test_task_info_cli(capsys):
     main(["list-languages", "--skip-plugins", "--config", str(CONFIGFILE)])
     out = capsys.readouterr().out
     assert "en" in out
+
+
+def test_process_file_gzip_roundtrip(fixed_date):
+    """Transparent .gz on both sides (pii-data openfile contract)."""
+    import gzip
+    with tempfile.TemporaryDirectory() as d:
+        gz_doc = str(Path(d) / "doc.yaml.gz")
+        with gzip.open(gz_doc, "wt", encoding="utf-8") as f:
+            f.write(DOCUMENT.read_text())
+        out = str(Path(d) / "out.json.gz")
+        process_file(gz_doc, out, lang="en", skip_plugins=True,
+                     configfile=str(CONFIGFILE))
+        with gzip.open(out, "rt", encoding="utf-8") as f:
+            got = json.load(f)
+    assert got == json.loads(GOLDEN.read_text())
