@@ -5,6 +5,13 @@ Parity: reference helper/context.py:15-132 — same spec grammar
 whitespace-normalize-then-slice window construction, proven against the
 reference truth table (test/unit/A_helper/test_context.py:9-97) in
 tests/test_kernel_context.py.
+
+Provenance: this module deliberately TRANSCRIBES the reference's
+context semantics (piisa/pii-extract-base, Apache-2.0) — byte-identical
+context acceptance is a parity mandate, so the matching logic tracks
+the upstream structure closely rather than re-deriving it. Upstream:
+https://github.com/piisa/pii-extract-base (helper/context.py),
+Copyright its contributors, Apache License 2.0.
 """
 
 import regex

@@ -1,4 +1,5 @@
-"""Constants (parity: reference defs.py:1-13)."""
+"""Constants (parity: reference defs.py:1-13; values must match the
+reference by definition — piisa/pii-extract-base, Apache-2.0)."""
 
 # Language-independent tasks (reference defs.py:2)
 LANG_ANY = "any"

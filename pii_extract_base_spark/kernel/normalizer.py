@@ -1,4 +1,8 @@
-"""Text normalization (parity: reference helper/normalizer.py:6-21)."""
+"""Text normalization (parity: reference helper/normalizer.py:6-21).
+
+Provenance: behavior-matching transcription of a 10-line helper whose
+exact semantics are the contract (piisa/pii-extract-base, Apache-2.0).
+"""
 
 from .defs import LANG_ANY
 

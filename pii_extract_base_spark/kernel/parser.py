@@ -3,6 +3,13 @@
 Parity: reference gather/parser/parser.py:27-250 (parse, demux, name
 autobuild) and gather/collection/sources/utils.py:15-120 (tuple
 normalization + header defaults injection + language pre-filter).
+
+Provenance: this module deliberately TRANSCRIBES the reference's
+descriptor-parsing semantics (piisa/pii-extract-base, Apache-2.0) — byte-identical
+descriptor parsing is a parity mandate, so the matching logic tracks
+the upstream structure closely rather than re-deriving it. Upstream:
+https://github.com/piisa/pii-extract-base (gather/parser/parser.py),
+Copyright its contributors, Apache License 2.0.
 """
 
 import importlib

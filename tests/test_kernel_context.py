@@ -1,5 +1,7 @@
 """Context truth table, ported verbatim from
-/root/reference/test/unit/A_helper/test_context.py:9-97."""
+/root/reference/test/unit/A_helper/test_context.py:9-97 — the test
+DATA is the behavioral spec being pinned (SURVEY.md par.5); upstream
+piisa/pii-extract-base, Apache License 2.0."""
 
 import pytest
 
