@@ -34,6 +34,22 @@ AUDIT = {
     # min has no mutable hash buffer; the production xxhash64 family
     # (longs) hash-aggregates — asserted separately below.
     "q16_minhash_signatures": ["Generate", "SortAggregate|HashAggregate"],
+    # round-2 verified scale paths: bucketed equi-joins, never a
+    # cartesian product; simhash is one projection (no aggregate node)
+    "q17_embedding_near_dups": ["SortMergeJoin|BroadcastHashJoin|"
+                                "ShuffledHashJoin"],
+    "q33_lsh_bucket_knn": ["BroadcastHashJoin|SortMergeJoin"],
+    "q23_simhash": ["Project", "Batched: true"],
+    "q31_cube_stats": ["Expand", "HashAggregate"],
+    "q35_priority_pivot": ["HashAggregate"],
+}
+
+# patterns that must NOT appear (scale-killers)
+FORBID = {
+    "q17_embedding_near_dups": ["CartesianProduct", "BroadcastNestedLoop"],
+    "q33_lsh_bucket_knn": ["CartesianProduct"],
+    "q23_simhash": ["ArrowEvalPython", "BatchEvalPython", "HashAggregate",
+                    "SortAggregate"],
 }
 
 
@@ -63,6 +79,11 @@ def main():
             hit = bool(re.search(pat, plan))
             ok_all &= hit
             checks.append(f"{'✓' if hit else '✗ MISSING'} `{pat}`")
+        for pat in FORBID.get(name, []):
+            hit = bool(re.search(pat, plan))
+            ok_all &= not hit
+            checks.append(f"{'✓ absent' if not hit else '✗ PRESENT'} "
+                          f"`!{pat}`")
         print(f"## {name}\n")
         print("Expectations: " + ", ".join(checks) + "\n")
         # keep the report readable: header section of the plan only

@@ -74,10 +74,15 @@ if not os.path.exists(os.path.join(pages_pq, "_SUCCESS")):
 
 pipe = QualityPipeline()
 pages = spark.read.parquet(pages_pq).repartition(2 * cores)
-# untimed warm pass: C2-JIT of the codegen'd stages + Arrow paths
-# costs ~20-30 s in a fresh JVM and would otherwise be charged to the
-# measurement (a real cluster job amortizes it over hours)
+# untimed warm passes: (1) C2-JIT of the codegen'd stages + Arrow
+# paths costs ~20-30 s in a fresh JVM and would otherwise be charged
+# to the measurement (a real cluster job amortizes it over hours);
+# (2) a full untimed input read pins the parquet in page cache — the
+# first 4N run of a session otherwise pays cold-disk I/O that the
+# later runs don't (measured: t4N 214.7 s cold-cache vs 140.1 s warm
+# on identical binaries), which is storage noise, not engine scaling
 pipe(pages.limit(30000)).agg({{"n_entities": "sum"}}).collect()
+pages.selectExpr("sum(length(text))", "sum(length(url))").collect()
 t0 = time.time()
 agg = pipe(pages).selectExpr(
     "count(*) n", "sum(cast(keep as int)) kept",
