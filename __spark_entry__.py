@@ -441,6 +441,36 @@ def q36_top_tokens(spark, sf_dir):
                 .limit(20))
 
 
+def q37_running_revenue(spark, sf_dir):
+    """Window FRAME spec: per-customer running order-value total and
+    3-row moving sum, ordered by date (exact decimal arithmetic on
+    both engines; ties broken by the unique order key)."""
+    orders = _t(spark, sf_dir, "orders")
+    w_run = (Window.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_mov = (Window.partitionBy("o_custkey")
+             .orderBy("o_orderdate", "o_orderkey")
+             .rowsBetween(-2, Window.currentRow))
+    price = F.col("o_totalprice").cast("decimal(30,6)")
+    return (orders.where(F.col("o_custkey") < 100)
+                  .select("o_custkey", "o_orderkey",
+                          F.round(F.sum(price).over(w_run), 2)
+                           .cast("double").alias("running_total"),
+                          F.round(F.sum(price).over(w_mov), 2)
+                           .cast("double").alias("moving_sum3")))
+
+
+def q38_slow_quarters(spark, sf_dir):
+    """HAVING over a date-bucketed aggregate (quarter arithmetic)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.groupBy(F.year("o_orderdate").alias("yr"),
+                           F.quarter("o_orderdate").alias("qtr"))
+                  .agg(F.count("*").alias("n_orders"),
+                       _dec_sum(F.col("o_totalprice")).alias("revenue"))
+                  .where(F.col("n_orders") >= 100))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -480,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_nations_gap": q34_nations_gap,
         "q35_priority_pivot": q35_priority_pivot,
         "q36_top_tokens": q36_top_tokens,
+        "q37_running_revenue": q37_running_revenue,
+        "q38_slow_quarters": q38_slow_quarters,
     }
 
 
@@ -863,6 +895,32 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 20
+        """,
+        "q37_running_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(cast(o_totalprice as decimal(30,6)))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW), 2)::DOUBLE
+                       AS running_total,
+                   round(sum(cast(o_totalprice as decimal(30,6)))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING
+                                        AND CURRENT ROW), 2)::DOUBLE
+                       AS moving_sum3
+            FROM orders WHERE o_custkey < 100
+        """,
+        "q38_slow_quarters": """
+            SELECT year(o_orderdate) AS yr,
+                   quarter(o_orderdate) AS qtr,
+                   count(*) AS n_orders,
+                   round(sum(cast(o_totalprice as decimal(30,6))),
+                         2)::DOUBLE AS revenue
+            FROM orders
+            GROUP BY 1, 2
+            HAVING count(*) >= 100
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal
