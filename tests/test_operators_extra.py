@@ -30,11 +30,18 @@ def test_image_features_deterministic(spark):
     assert a == b
 
 
-def test_real_decode_is_gated(spark):
-    from pii_extract_base_spark.operators.multimodal import image_features
+def test_real_decode_gating(spark):
+    """decode="real" exists for images (PPM/PGM/BMP) and audio (WAV);
+    non-decodable blobs fail fast; video stays stubbed (no stdlib
+    demuxer)."""
+    from pii_extract_base_spark.operators.multimodal import (
+        image_features, video_frame_sample)
     pages = synth_pages(spark, SF_DIR).limit(1)
+    # html bytes are not an image -> per-row ValueError surfaces on run
+    with pytest.raises(Exception):
+        image_features(pages, decode="real").collect()
     with pytest.raises(NotImplementedError):
-        image_features(pages, decode="real")
+        video_frame_sample(pages, decode="real")
 
 
 def test_audio_frame_sample(spark):
@@ -262,3 +269,86 @@ def test_rolling_fingerprint_long_doc_and_chunk_invariance(spark):
         h = (h * 131 + ord(c)) % 1_000_000_007
     assert a[1] == h
     assert a[4] != 0
+
+
+def _make_ppm(w, h):
+    """P6 PPM with a deterministic gradient."""
+    raster = bytes((x * 7 + y * 13 + c) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + raster
+
+
+def _make_bmp(w, h):
+    """24-bit uncompressed bottom-up BMP, same gradient as the PPM."""
+    import struct
+    row_sz = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up rows
+        row = bytearray()
+        for x in range(w):
+            r, g, b = ((x * 7 + y * 13 + c) % 256 for c in range(3))
+            row += bytes((b, g, r))          # BGR on disk
+        row += b"\0" * (row_sz - len(row))
+        raster += row
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(raster), 2835, 2835, 0, 0))
+    return bytes(hdr + raster)
+
+
+def _make_wav(n_samples=2000, freq=440, rate=8000):
+    import io
+    import math
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(b"".join(
+            struct.pack("<h", int(12000 * math.sin(2 * math.pi * freq
+                                                   * i / rate)))
+            for i in range(n_samples)))
+    return buf.getvalue()
+
+
+def test_real_image_decode_ppm_bmp_agree():
+    from pii_extract_base_spark.operators.multimodal import decode_image
+    ppm = decode_image(_make_ppm(13, 7))
+    bmp = decode_image(_make_bmp(13, 7))
+    assert ppm.shape == bmp.shape == (7, 13, 3)
+    assert (ppm == bmp).all()       # same pixels through both codecs
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_real_image_features_spark(spark):
+    from pii_extract_base_spark.operators.multimodal import image_features
+    rows = [("img://a", _make_ppm(16, 16)), ("img://b", _make_bmp(9, 5))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: r for r in
+           image_features(df, decode="real").collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert abs(sum(r.features) - 1.0) < 1e-6   # normalized histogram
+        assert len(r.features) == 16
+
+
+def test_real_wav_audio_frames_spark(spark):
+    from pii_extract_base_spark.operators.multimodal import (
+        audio_frame_sample, decode_wav)
+    wav = _make_wav()
+    params, pcm = decode_wav(wav)
+    assert params.framerate == 8000 and params.sampwidth == 2
+    df = spark.createDataFrame([("a.wav", wav)], "url string, html binary")
+    got = (audio_frame_sample(df, decode="real", frame_bytes=1024,
+                              max_frames=3).collect())
+    assert [r.frame_idx for r in got] == [0, 1, 2]
+    # a full-scale 440 Hz sine at amplitude 12000 has RMS ~ 12000/sqrt(2)
+    assert all(6000 < r.rms < 10000 for r in got)
+    bad = spark.createDataFrame([("b.mp3", b"ID3\x04\x00junk")],
+                                "url string, html binary")
+    with pytest.raises(Exception):
+        audio_frame_sample(bad, decode="real").collect()
