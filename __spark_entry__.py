@@ -471,6 +471,16 @@ def q38_slow_quarters(spark, sf_dir):
                   .where(F.col("n_orders") >= 100))
 
 
+def q39_dedup_corpus(spark, sf_dir):
+    """End-to-end corpus dedup: exact (md5) + near (banded minhash →
+    Jaccard >= 0.8) duplicates dropped keep-first; survivors returned.
+    Fully DuckDB-replayed (md5slice family)."""
+    from pii_extract_base_spark.operators.dedup import dedup_corpus
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup_corpus(docs, jaccard_threshold=0.8)
+    return kept.select("doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -512,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_top_tokens": q36_top_tokens,
         "q37_running_revenue": q37_running_revenue,
         "q38_slow_quarters": q38_slow_quarters,
+        "q39_dedup_corpus": q39_dedup_corpus,
     }
 
 
@@ -921,6 +932,43 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1, 2
             HAVING count(*) >= 100
+        """,
+        "q39_dedup_corpus": f"""
+            WITH ids AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS fp
+                FROM documents
+            ),
+            exact_losers AS (
+                SELECT i.doc_id FROM ids i
+                JOIN (SELECT fp, min(doc_id) AS keep, count(*) AS n
+                      FROM ids GROUP BY fp) g ON i.fp = g.fp
+                WHERE g.n > 1 AND i.doc_id <> g.keep
+            ),
+            sig AS (
+                SELECT doc_id, [{minhash_sig}] AS sig
+                FROM documents WHERE len({shingles5}) > 0
+            ),
+            bands AS (
+                SELECT doc_id, t.b AS band,
+                       sig[2*t.b + 1] || '#' || sig[2*t.b + 2] AS bkey
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+            ),
+            pairs AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bands x JOIN bands y USING (band, bkey)
+                WHERE x.doc_id < y.doc_id
+            ),
+            sh AS (SELECT doc_id, {shingles5} AS sh FROM documents),
+            near_losers AS (
+                SELECT id_b AS doc_id FROM pairs
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b
+                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                            / len(list_distinct(a.sh || b.sh)), 6) >= 0.8
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers
+                                 UNION SELECT doc_id FROM near_losers)
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal

@@ -58,15 +58,24 @@ def get_spark(app_name: str = "pii-extract-base-spark",
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # pin the heap (-Xms == -Xmx): heap grow/uncommit cycles turn
-        # into kernel page-fault/compaction churn that shows up as
-        # 50-80% system time at high core counts on virtualized hosts
-        .config("spark.driver.extraJavaOptions",
-                "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # bigger JVM<->python-worker pipe buffer: fewer syscalls per
         # Arrow batch (same kernel-contention story as above)
         .config("spark.buffer.size", "1048576")
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse + metastore OUTSIDE the repo (bucketed
+        # tables for co-located joins live here; see sources/bucketed.py)
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR",
+                               "/tmp/pii_spark_warehouse"))
+        # pin the heap (-Xms == -Xmx): heap grow/uncommit cycles turn
+        # into kernel page-fault/compaction churn that shows up as
+        # 50-80% system time at high core counts on virtualized hosts;
+        # derby.system.home keeps the metastore next to the warehouse
+        .config("spark.driver.extraJavaOptions",
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+                + " -Dderby.system.home="
+                + os.environ.get("SPARK_WAREHOUSE_DIR",
+                                 "/tmp/pii_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -199,6 +199,41 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                   .where(F.col("cosine") >= threshold))
 
 
+def dedup_corpus(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 5, num_perm: int = 8,
+                 band_size: int = 2, jaccard_threshold: float = 0.8,
+                 family: str = "md5slice") -> DataFrame:
+    """End-to-end corpus dedup: EXACT duplicates (md5 fingerprint) plus
+    NEAR duplicates (banded-minhash candidates verified by shingle
+    Jaccard >= threshold) are dropped keep-first (a doc is dropped iff
+    a duplicate with a SMALLER id exists — greedy by id, not transitive
+    closure, so the rule is order-independent and replayable in plain
+    SQL). Returns the surviving rows of ``df``.
+
+    Plan shape at scale: one narrow anti-join per dup source — the
+    exact pass shuffles (id, fp), the near pass shuffles signatures and
+    joins shingle arrays only for LSH candidate pairs.
+    """
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    ids = df.select(F.col(id_col), fp.alias("_fp"))
+    exact_losers = (ids.groupBy("_fp")
+                       .agg(F.min(id_col).alias("_keep"),
+                            F.count("*").alias("_n"))
+                       .where(F.col("_n") > 1)
+                       .join(ids, "_fp")
+                       .where(F.col(id_col) != F.col("_keep"))
+                       .select(id_col))
+
+    cand = lsh_candidate_pairs(df, text_col, id_col, k, num_perm,
+                               band_size, family)
+    near_losers = (ngram_jaccard_pairs(df, cand, text_col, id_col, k)
+                   .where(F.col("jaccard") >= jaccard_threshold)
+                   .select(F.col("id_b").alias(id_col)))
+
+    losers = exact_losers.union(near_losers).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_col(text_col: str = "text", bits: int = 64,
                 family: str = "xxhash64") -> F.Column:
     """SimHash over word unigrams in ONE pass: a single `aggregate`

@@ -200,12 +200,27 @@ class CheckpointedSink:
 
     # -- read ------------------------------------------------------------------
 
-    def read(self, spark) -> DataFrame:
+    def read(self, spark, as_of_commit: Optional[int] = None,
+             as_of_ts: Optional[str] = None) -> DataFrame:
         """Read only COMMITTED partitions (uncommitted files invisible —
-        the manifest is the source of truth, like an Iceberg snapshot)."""
-        done = sorted(self.committed_partitions())
+        the manifest is the source of truth, like an Iceberg snapshot).
+
+        Time travel: each manifest append is a snapshot, and committed
+        partition data is immutable (resume never rewrites a committed
+        partition), so a PREFIX of the manifest is a consistent
+        point-in-time view. ``as_of_commit=i`` reads the state after
+        the i-th commit (0-based); ``as_of_ts`` reads the state as of
+        an ISO timestamp (inclusive)."""
+        entries = self.manifest_entries()
+        if as_of_commit is not None:
+            entries = entries[:as_of_commit + 1]
+        if as_of_ts is not None:
+            entries = [e for e in entries if e["committed_at"] <= as_of_ts]
+        done = sorted({e["partition_id"] for e in entries})
         if not done:
-            raise FileNotFoundError(f"no committed partitions in {self.path}")
+            raise FileNotFoundError(
+                f"no committed partitions in {self.path} for the "
+                f"requested snapshot")
         paths = [str(self.path / f"part_id={k}") for k in done]
         return spark.read.parquet(*paths)
 

@@ -132,3 +132,24 @@ def test_manifest_metrics_match_table(spark, tmp_path, pipe):
         for t, n in e["entities"].items():
             got[t] = got.get(t, 0) + n
     assert got == truth
+
+
+def test_time_travel_reads(spark, tmp_path, pipe):
+    """Snapshot semantics: a manifest prefix is a consistent
+    point-in-time view (committed partitions are immutable)."""
+    pages = synth_pages(spark, SF_DIR).limit(150).cache()
+    sink = CheckpointedSink(str(tmp_path / "tt"), n_partitions=4)
+    sink.run(pages, pipe)
+    entries = sink.manifest_entries()
+    assert len(entries) == 4
+
+    full = sink.read(spark).count()
+    # after the 2nd commit only the first two partitions existed
+    snap = sink.read(spark, as_of_commit=1)
+    assert snap.count() == sum(e["rows_in"] for e in entries[:2])
+    assert snap.count() <= full
+    # timestamp-based travel: everything as of the last commit == full
+    assert sink.read(
+        spark, as_of_ts=entries[-1]["committed_at"]).count() == full
+    with pytest.raises(FileNotFoundError):
+        sink.read(spark, as_of_ts="1970-01-01T00:00:00")
