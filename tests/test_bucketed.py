@@ -57,3 +57,21 @@ def test_bucketed_aggregation_no_exchange(spark, bucketed_tables):
            .agg(F.count("*").alias("n")))
     plan = _plan(agg)
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """Hive-partitioned layout by lang: a lang filter becomes a
+    PartitionFilter (pruned at planning — 100 TB corpora partition by
+    lang/crawl-date so per-language jobs scan only their slice)."""
+    from pii_extract_base_spark.sources.pages import synth_pages
+    out = str(tmp_path / "pages_by_lang")
+    synth_pages(spark, SF_DIR).limit(200).write.partitionBy(
+        "lang").parquet(out)
+    df = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:1200]
+    # and the data filter list does NOT re-check lang (pruned, not
+    # scanned-and-filtered)
+    assert df.count() > 0
+    langs = [r.lang for r in df.select("lang").distinct().collect()]
+    assert langs == ["en"]
