@@ -481,6 +481,37 @@ def q39_dedup_corpus(spark, sf_dir):
     return kept.select("doc_id", "n_chars")
 
 
+def q40_repeat_buyers_both_years(spark, sf_dir):
+    """INTERSECT ALL (multiset semantics): per-customer order slots
+    present in both the first and last order year — multiplicity is
+    min(count_year_a, count_year_b), which DISTINCT set ops lose."""
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    # scalar bounds as a broadcast 1-row join, not a driver collect
+    years = orders.agg(F.min(yr).alias("lo"), F.max(yr).alias("hi"))
+    a = (orders.join(F.broadcast(years)).where(yr == F.col("lo"))
+               .select("o_custkey"))
+    b = (orders.join(F.broadcast(years)).where(yr == F.col("hi"))
+               .select("o_custkey"))
+    return a.intersectAll(b)
+
+
+def q41_daily_orders_vs_events(spark, sf_dir):
+    """FULL OUTER join of two daily activity series (non-overlapping
+    ranges produce one-sided rows; counts coalesced so both engines
+    keep int64 columns)."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    od = (orders.groupBy(F.to_date("o_orderdate").alias("day"))
+                .agg(F.count("*").alias("n_orders")))
+    ed = (ev.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n_events")))
+    return (od.join(ed, "day", "full_outer")
+              .select("day",
+                      F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                      F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -523,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_running_revenue": q37_running_revenue,
         "q38_slow_quarters": q38_slow_quarters,
         "q39_dedup_corpus": q39_dedup_corpus,
+        "q40_repeat_buyers_both_years": q40_repeat_buyers_both_years,
+        "q41_daily_orders_vs_events": q41_daily_orders_vs_events,
     }
 
 
@@ -969,6 +1002,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers
                                  UNION SELECT doc_id FROM near_losers)
+        """,
+        "q40_repeat_buyers_both_years": """
+            SELECT o_custkey FROM orders
+            WHERE year(o_orderdate) = (SELECT min(year(o_orderdate))
+                                       FROM orders)
+            INTERSECT ALL
+            SELECT o_custkey FROM orders
+            WHERE year(o_orderdate) = (SELECT max(year(o_orderdate))
+                                       FROM orders)
+        """,
+        "q41_daily_orders_vs_events": """
+            WITH od AS (
+                SELECT cast(o_orderdate AS date) AS day,
+                       count(*) AS n_orders
+                FROM orders GROUP BY 1
+            ),
+            ed AS (
+                SELECT cast(ts AS date) AS day, count(*) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT coalesce(od.day, ed.day) AS day,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(n_events, 0) AS n_events
+            FROM od FULL OUTER JOIN ed USING (day)
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal
