@@ -42,6 +42,8 @@ AUDIT = {
     "q23_simhash": ["Project", "Batched: true"],
     "q31_cube_stats": ["Expand", "HashAggregate"],
     "q35_priority_pivot": ["HashAggregate"],
+    "q39_dedup_corpus": ["LeftAnti"],
+    "q41_daily_orders_vs_events": ["FullOuter"],
 }
 
 # patterns that must NOT appear (scale-killers)
