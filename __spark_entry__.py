@@ -207,12 +207,15 @@ def q17_embedding_near_dups(spark, sf_dir):
     """Bucketed (multi-table hyperplane LSH) near-dup pairs — the scale
     path IS the verified path: the DuckDB oracle replays the identical
     bucketing with the LCG hyperplanes inlined as literals, so the
-    driver hash-checks the plan with no crossJoin in it."""
+    driver hash-checks the plan with no crossJoin in it. Buckets over
+    500 rows are dropped before pair generation on BOTH engines
+    (QUALIFY replay in the oracle)."""
     from pii_extract_base_spark.operators.dedup import (
         embedding_near_dup_pairs)
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.4, method="lsh",
-                                    n_planes=6, n_tables=4, dim=64)
+                                    n_planes=6, n_tables=4, dim=64,
+                                    max_bucket=500)
 
 
 def q18_ivf_topk(spark, sf_dir):
@@ -242,17 +245,24 @@ def q27_repeat_users(spark, sf_dir):
     first days. Fully declarative — the two target days are ranked with
     a window over the (tiny) distinct-days relation and broadcast back,
     so there is no driver-side collect() in the plan (at 100 TB a
-    mid-plan collect is a driver round-trip + a re-scan barrier)."""
+    mid-plan collect is a driver round-trip + a re-scan barrier).
+
+    Degenerate-input parity (ADVICE r2): the membership requirement is
+    least(2, n_distinct_days) — on a one-day corpus the oracle's
+    INTERSECT of min(d)/max(d) returns that day's users, so the Spark
+    side must too, not the empty set."""
     ev = _t(spark, sf_dir, "events")
     days = (ev.select(F.to_date("ts").alias("d")).distinct()
               .withColumn("rnk", F.row_number().over(
                   Window.orderBy("d")))  # distinct days: tiny relation
               .where(F.col("rnk") <= 2))
+    tot = days.agg(F.max("rnk").alias("tot"))   # = least(2, n_days)
     return (ev.select("user_id", F.to_date("ts").alias("d"))
               .join(F.broadcast(days), "d")
               .groupBy("user_id")
               .agg(F.countDistinct("rnk").alias("nd"))
-              .where(F.col("nd") == 2)
+              .join(F.broadcast(tot))
+              .where(F.col("nd") == F.col("tot"))
               .select("user_id"))
 
 
@@ -296,12 +306,14 @@ def q21_pipeline_entities_by_type(spark, sf_dir):
 def q22_lsh_dup_candidates(spark, sf_dir):
     """Banded MinHash LSH candidates + exact Jaccard verify, in the
     md5slice hash family so the DuckDB oracle replays the exact bands
-    (xxhash64 family stays the production default for 64-bit minima)."""
+    (xxhash64 family stays the production default for 64-bit minima).
+    Band buckets over 500 docs are dropped before the self-join on
+    BOTH engines (the last quadratic hazard at corpus scale)."""
     from pii_extract_base_spark.operators.dedup import (
         lsh_candidate_pairs, ngram_jaccard_pairs)
     docs = _t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(docs, num_perm=8, band_size=2,
-                                family="md5slice")
+                                family="md5slice", max_bucket=500)
     return ngram_jaccard_pairs(docs, pairs)
 
 
@@ -474,10 +486,10 @@ def q38_slow_quarters(spark, sf_dir):
 def q39_dedup_corpus(spark, sf_dir):
     """End-to-end corpus dedup: exact (md5) + near (banded minhash →
     Jaccard >= 0.8) duplicates dropped keep-first; survivors returned.
-    Fully DuckDB-replayed (md5slice family)."""
+    Fully DuckDB-replayed (md5slice family, 500-row bucket cap)."""
     from pii_extract_base_spark.operators.dedup import dedup_corpus
     docs = _t(spark, sf_dir, "documents")
-    kept = dedup_corpus(docs, jaccard_threshold=0.8)
+    kept = dedup_corpus(docs, jaccard_threshold=0.8, max_bucket=500)
     return kept.select("doc_id", "n_chars")
 
 
@@ -571,10 +583,14 @@ def oracle_sql() -> dict[str, str]:
     rules = rules_duckdb_exprs("text", "lang")
     rule_cols = ",\n       ".join(f"{sql} AS {name}"
                                   for name, sql in rules.items())
+    # numeric 16-bit minima (mirrors Spark's conv(hex,16,10) family —
+    # fixed-width hex is order-isomorphic to its value, and numeric
+    # minima keep the Spark side in HashAggregate)
     minhash_sig = ", ".join(
         f"list_aggregate(list_transform({shingles5}, "
-        f"s -> substr(md5(s), {4 * i + 1}, 4)), 'min')"
+        f"s -> ('0x' || substr(md5(s), {4 * i + 1}, 4))::BIGINT), 'min')"
         for i in range(8))
+    MAX_BUCKET = 500   # LSH bucket cap replayed on both engines
 
     # -- LSH bucket replay: the SAME deterministic LCG hyperplanes the
     # Spark operators use, inlined as SQL literals (repr round-trips
@@ -755,9 +771,14 @@ def oracle_sql() -> dict[str, str]:
             b AS (
               {nd_tables}
             ),
+            bc AS (
+                SELECT id, t, bucket FROM b
+                QUALIFY count(*) OVER (PARTITION BY t, bucket)
+                        <= {MAX_BUCKET}
+            ),
             pairs AS (
                 SELECT DISTINCT x.id AS id_a, y.id AS id_b
-                FROM b x JOIN b y USING (t, bucket)
+                FROM bc x JOIN bc y USING (t, bucket)
                 WHERE x.id < y.id
             )
             SELECT id_a, id_b,
@@ -856,8 +877,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             bands AS (
                 SELECT doc_id, t.b AS band,
-                       sig[2*t.b + 1] || '#' || sig[2*t.b + 2] AS bkey
+                       sig[2*t.b + 1]::VARCHAR || '#' ||
+                       sig[2*t.b + 2]::VARCHAR AS bkey
                 FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+                QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                        <= {MAX_BUCKET}
             ),
             pairs AS (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -983,8 +1007,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             bands AS (
                 SELECT doc_id, t.b AS band,
-                       sig[2*t.b + 1] || '#' || sig[2*t.b + 2] AS bkey
+                       sig[2*t.b + 1]::VARCHAR || '#' ||
+                       sig[2*t.b + 2]::VARCHAR AS bkey
                 FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+                QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                        <= {MAX_BUCKET}
             ),
             pairs AS (
                 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

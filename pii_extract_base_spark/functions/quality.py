@@ -1,7 +1,7 @@
 """Gopher/C4-style heuristic quality rules (north-star stage N3).
 
 The rule DEFINITIONS live here once, with three renderings that must stay
-in lockstep (asserted by tests/test_quality_parity.py):
+in lockstep (asserted by tests/test_pipeline_parity.py):
 
  - `rules_python(text, lang)`  — pure-Python oracle / kernel
  - `rules_columns()`           — native Spark SQL Column expressions

@@ -45,10 +45,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     Hash families:
      - "md5slice": one md5 per shingle; permutation i = hex slice
-       [4i, 4i+4) of the digest (independent uniform 16-bit values).
-       Cross-engine replayable (DuckDB has the same md5) — this is the
-       family the driver's oracle verifies. Coarse minima are fine for
-       LSH candidate generation because ngram_jaccard_pairs verifies.
+       [4i, 4i+4) of the digest (independent uniform 16-bit values),
+       decoded to a LONG via conv(hex,16,10) so the minima aggregate in
+       a mutable buffer (HashAggregate — a string min has no mutable
+       buffer and forces SortAggregate; fixed-width hex is order-
+       isomorphic to its numeric value, so the minima are identical).
+       Cross-engine replayable (DuckDB: ('0x'||slice)::BIGINT) — this
+       is the family the driver's oracle verifies. Coarse minima are
+       fine for LSH candidate generation because ngram_jaccard_pairs
+       verifies.
      - "xxhash64": sig[i] = min xxhash64(i, shingle) — full 64-bit
        family for production scale (1e12 docs), Spark-only.
 
@@ -59,7 +64,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     if family == "md5slice":
         assert num_perm <= 8, "md5 has 32 hex chars = 8 slices of 4"
         h = F.md5("s")
-        aggs = [F.min(F.substring(h, 4 * i + 1, 4)).alias(f"h{i}")
+        aggs = [F.min(F.conv(F.substring(h, 4 * i + 1, 4), 16, 10)
+                       .cast("long")).alias(f"h{i}")
                 for i in range(num_perm)]
     elif family == "xxhash64":
         aggs = [F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
@@ -73,16 +79,45 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                   for i in range(num_perm)]).alias("sig"))
 
 
+def _cap_buckets(rows: DataFrame, key_cols: List[str],
+                 max_bucket: int) -> DataFrame:
+    """Drop every LSH bucket larger than ``max_bucket`` BEFORE the
+    candidate self-join — the self-join emits ~B²/2 pairs per bucket of
+    B rows, so one boilerplate bucket (cookie banners, parked domains)
+    of a million docs would otherwise produce ~5e11 candidate pairs
+    that no verify step can absorb. AQE can split a skewed partition
+    but cannot reduce the pair count; capping is the standard
+    production MinHash mitigation (drop / sample top-frequency bands).
+
+    Recall impact: members of a dropped bucket can still pair in their
+    OTHER bands/tables; byte-identical boilerplate (the usual cause) is
+    caught by the exact-dup pass in dedup_corpus regardless.
+
+    Plan shape: the over-cap keys come from a partial-aggregated
+    groupBy (map-side combine → tiny result: one row per over-cap
+    bucket) and are BROADCAST into a left_anti join, so the bands
+    relation is never reshuffled for the cap.
+    """
+    over = (rows.groupBy(*key_cols)
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") > max_bucket)
+                .select(*key_cols))
+    return rows.join(F.broadcast(over), key_cols, "left_anti")
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         num_perm: int = 8, band_size: int = 2,
-                        family: str = "xxhash64") -> DataFrame:
+                        family: str = "xxhash64",
+                        max_bucket: int = 500) -> DataFrame:
     """Banded LSH: documents sharing any full band of their MinHash
     signature become a candidate pair (a, b) with a < b.
 
     Only signature rows shuffle (num_perm small values per doc), never
     document text; the band groupBy is the one shuffle that matters at
-    corpus scale, on a short composite key.
+    corpus scale, on a short composite key. Band buckets larger than
+    ``max_bucket`` are dropped before the self-join (see _cap_buckets;
+    ``max_bucket=None`` disables — eval/test corpora only).
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_perm, family)
     n_bands = num_perm // band_size
@@ -96,6 +131,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             for b in range(n_bands)
         ])).alias("bb")
     ).select(id_col, "bb.band", "bb.bkey")
+    if max_bucket is not None:
+        bands = _cap_buckets(bands, ["band", "bkey"], max_bucket)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -127,7 +164,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                              vec_col: str = "embedding",
                              method: str = "lsh",
                              n_planes: int = 6, n_tables: int = 4,
-                             dim: int = None, seed: int = 42) -> DataFrame:
+                             dim: int = None, seed: int = 42,
+                             max_bucket: int = 500) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine)
     with cosine >= threshold.
 
@@ -142,6 +180,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     LCG stream (similarity._hyperplanes), so an external SQL engine can
     replay the identical plan with the planes inlined as literals —
     this is how the driver's DuckDB oracle verifies the bucketed path.
+    Buckets larger than ``max_bucket`` are dropped before the
+    candidate join (see _cap_buckets; None disables).
 
     method="exact": self cross-join with native dot products — the
     O(n^2) correctness baseline, eval-scale corpora only.
@@ -153,13 +193,11 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                       _norm(v).alias("nrm"))
     if method == "lsh":
         if dim is None:
-            head = emb.select(vec_col).head(1)
-            if not head:   # empty input: empty result, exact-path parity
-                return (base.select(F.col("id").alias("id_a"),
-                                    F.col("id").alias("id_b"),
-                                    F.lit(0.0).alias("cosine"))
-                            .where(F.lit(False)))
-            dim = len(head[0][0])
+            raise ValueError(
+                "dim is required for method='lsh': the hyperplanes are "
+                "inlined into the plan as literals, and inferring the "
+                "dimension would need a driver-side head() action (a "
+                "scan barrier mid-plan at corpus scale)")
         planes = _hyperplanes(dim, n_planes * n_tables, seed)
         tables = []
         for t in range(n_tables):
@@ -175,6 +213,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
         # narrow (id, t, bucket) relation: the only thing that shuffles
         b = (base.select("id", F.explode(F.array(*tables)).alias("tb"))
                  .select("id", "tb.t", "tb.bucket"))
+        if max_bucket is not None:
+            b = _cap_buckets(b, ["t", "bucket"], max_bucket)
         pairs = (b.alias("x").join(b.alias("y"), ["t", "bucket"])
                   .where(F.col("x.id") < F.col("y.id"))
                   .select(F.col("x.id").alias("id_a"),
@@ -202,7 +242,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.4,
 def dedup_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 5, num_perm: int = 8,
                  band_size: int = 2, jaccard_threshold: float = 0.8,
-                 family: str = "md5slice") -> DataFrame:
+                 family: str = "md5slice",
+                 max_bucket: int = 500) -> DataFrame:
     """End-to-end corpus dedup: EXACT duplicates (md5 fingerprint) plus
     NEAR duplicates (banded-minhash candidates verified by shingle
     Jaccard >= threshold) are dropped keep-first (a doc is dropped iff
@@ -212,7 +253,10 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
 
     Plan shape at scale: one narrow anti-join per dup source — the
     exact pass shuffles (id, fp), the near pass shuffles signatures and
-    joins shingle arrays only for LSH candidate pairs.
+    joins shingle arrays only for LSH candidate pairs. LSH buckets over
+    ``max_bucket`` are dropped before pair generation; byte-identical
+    boilerplate (the usual cause of an oversized bucket) is still
+    removed by the exact pass, which never caps.
     """
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     ids = df.select(F.col(id_col), fp.alias("_fp"))
@@ -225,7 +269,7 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
                        .select(id_col))
 
     cand = lsh_candidate_pairs(df, text_col, id_col, k, num_perm,
-                               band_size, family)
+                               band_size, family, max_bucket)
     near_losers = (ngram_jaccard_pairs(df, cand, text_col, id_col, k)
                    .where(F.col("jaccard") >= jaccard_threshold)
                    .select(F.col("id_b").alias(id_col)))

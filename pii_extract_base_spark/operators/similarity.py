@@ -74,13 +74,11 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     bucket → exact cosine rerank within bucket. At corpus scale this
     replaces the crossJoin with a shuffle on a 1-byte-per-plane key."""
     if dim is None:
-        head = corpus.select(vec_col).head(1)   # one driver action; pass
-        if not head:                            # dim explicitly to avoid it
-            return (corpus.select(F.col(id_col).alias("q_id"),
-                                  F.col(id_col).alias("neighbor_id"),
-                                  F.lit(1).alias("rank"))
-                          .where(F.lit(False)))
-        dim = len(head[0][0])
+        raise ValueError(
+            "dim is required: the hyperplanes are inlined into the plan "
+            "as literals, and inferring the dimension would need a "
+            "driver-side head() action (a scan barrier mid-plan at "
+            "corpus scale)")
     planes = _hyperplanes(dim, n_planes)
 
     def bucket(vec):

@@ -103,7 +103,8 @@ def test_lsh_bucket_topk_recall(spark):
     queries = emb.where(F.col("vec_id") < 5)
     exact = {(r.q_id, r.rank): r.neighbor_id
              for r in cosine_topk(emb, queries, k=3).collect()}
-    approx = lsh_bucket_topk(emb, queries, k=3, n_planes=4).collect()
+    approx = lsh_bucket_topk(emb, queries, k=3, n_planes=4,
+                             dim=64).collect()
     # approximate search must return plausible rows for every query
     assert {r.q_id for r in approx} == set(range(5))
     # recall@3 vs exact ≥ 0.2 with 4 planes on random vectors (weak but
@@ -164,7 +165,7 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
     # set at the same cosine
     lsh = {(r.id_a, r.id_b): r.cosine
            for r in embedding_near_dup_pairs(
-               emb, 0.4, n_planes=6, n_tables=4).collect()}
+               emb, 0.4, n_planes=6, n_tables=4, dim=64).collect()}
     for pair, c in lsh.items():
         assert exact[pair] == c
     # recall floor: for the tightly-clustered pairs (cosine >= 0.7)
@@ -182,9 +183,13 @@ def test_embedding_near_dups_empty_input(spark):
         embedding_near_dup_pairs)
     emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
                 .where(F.col("vec_id") < 0))
-    out = embedding_near_dup_pairs(emb, 0.4)   # lsh default, no dim
+    out = embedding_near_dup_pairs(emb, 0.4, dim=64)   # lsh default
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cosine"]
+    # dim is mandatory on the LSH path: inferring it would need a
+    # driver-side head() action in the operator construction path
+    with pytest.raises(ValueError, match="dim is required"):
+        embedding_near_dup_pairs(emb, 0.4)
 
 
 def test_ivf_topk_shape_and_recall(spark):
@@ -352,3 +357,46 @@ def test_real_wav_audio_frames_spark(spark):
                                 "url string, html binary")
     with pytest.raises(Exception):
         audio_frame_sample(bad, decode="real").collect()
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    """VERDICT r2 #1: an uncapped band bucket of B docs emits ~B²/2
+    candidate pairs. The cap drops oversized buckets BEFORE the
+    self-join; real near-dups in small buckets survive, and the exact
+    pass of dedup_corpus still removes byte-identical boilerplate."""
+    from pii_extract_base_spark.operators.dedup import (
+        dedup_corpus, lsh_candidate_pairs)
+    base = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    near = base.replace("word7", "changed", 1)
+    boiler = "accept all cookies to continue reading this site " * 12
+    rows = [(1, base), (2, near)] + [(100 + i, boiler) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = lsh_candidate_pairs(docs, num_perm=8, band_size=2,
+                                   max_bucket=None)
+    assert uncapped.count() == 40 * 39 // 2 + 1   # the quadratic blowup
+    capped = lsh_candidate_pairs(docs, num_perm=8, band_size=2,
+                                 max_bucket=10)
+    assert {(r.id_a, r.id_b) for r in capped.collect()} == {(1, 2)}
+
+    kept = {r.doc_id
+            for r in dedup_corpus(docs, max_bucket=10).collect()}
+    # 2 dropped as near-dup of 1; 101..139 exact-dups of 100 (the
+    # exact pass never caps, so boilerplate is still deduped)
+    assert kept == {1, 100}
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    from pii_extract_base_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    v1 = [1.0] * 8
+    v2 = [1.0, -1.0] * 4
+    v2b = [1.01, -1.0] + [1.0, -1.0] * 3      # same sign pattern as v2
+    rows = ([(i, v1) for i in range(30)]
+            + [(100, v2), (101, v2b)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = embedding_near_dup_pairs(emb, 0.4, dim=8, max_bucket=None)
+    assert uncapped.count() >= 30 * 29 // 2
+    capped = embedding_near_dup_pairs(emb, 0.4, dim=8, max_bucket=10)
+    assert ({(r.id_a, r.id_b) for r in capped.collect()}
+            == {(100, 101)})
