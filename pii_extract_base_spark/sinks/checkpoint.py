@@ -9,8 +9,15 @@ commit semantics:
  - work is split into logical partitions: part_id = pmod(xxhash64(url), P)
  - each partition is processed and written to  <table>/part_id=<k>/
  - a manifest line (partition id, input fingerprint, rows in/kept,
-   per-type entity counts, wall ms, commit ts) is appended ATOMICALLY
-   (write temp + rename) after the partition's files land
+   per-type entity counts, wall ms, commit ts) is appended in O(1)
+   (single-line append + fsync) after the partition's files land;
+   crash atomicity is line-level — a torn final line fails JSON
+   parsing and is skipped by readers, so the surviving prefix is
+   always a consistent snapshot (a full rewrite-and-rename per commit
+   would be O(N²) I/O over N partitions)
+ - per-partition metrics come from `DataFrame.observe()` aggregates
+   attached to the WRITE pass itself — zero extra scans: no input
+   re-read, no output re-read (round 1 re-read output 3x, round 2 1x)
  - resume = skip every partition already in the manifest; a re-run
    after failure converges to exactly the same table with no duplicate
    partitions (tested in tests/test_checkpoint_resume.py)
@@ -25,9 +32,9 @@ import os
 import shutil
 import time
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Set
+from typing import Callable, Dict, Iterable, List, Optional, Set
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 MANIFEST = "_manifest.jsonl"
 METRICS_SCHEMA = ("partition_id int, input_fingerprint string, rows_in long, "
@@ -37,10 +44,22 @@ METRICS_SCHEMA = ("partition_id int, input_fingerprint string, rows_in long, "
 
 class CheckpointedSink:
     def __init__(self, table_path: str, n_partitions: int = 8,
-                 stage: str = "quality_pipeline"):
+                 stage: str = "quality_pipeline",
+                 entity_types: Optional[Iterable[str]] = None):
+        """``entity_types``: the closed set of entity-type values the
+        transform can emit, used to build the per-type observe()
+        aggregates (metrics are computed DURING the write job, so the
+        type set must be known at plan time). Defaults to the engine's
+        PiiEnum registry; entities whose type is NULL or outside the
+        set are counted under ``_untyped`` instead of silently skewing
+        row counts (ADVICE r2)."""
         self.path = Path(table_path)
         self.n_partitions = n_partitions
         self.stage = stage
+        if entity_types is None:
+            from ..kernel.model import PiiEnum
+            entity_types = [t.value for t in PiiEnum]
+        self.entity_types = list(entity_types)
         self.path.mkdir(parents=True, exist_ok=True)
 
     # -- manifest ------------------------------------------------------------
@@ -50,30 +69,34 @@ class CheckpointedSink:
         return self.path / MANIFEST
 
     def committed_partitions(self) -> Set[int]:
-        if not self._manifest_path.exists():
-            return set()
-        out = set()
-        with open(self._manifest_path, encoding="utf-8") as f:
-            for line in f:
-                if line.strip():
-                    out.add(json.loads(line)["partition_id"])
-        return out
+        return {e["partition_id"] for e in self.manifest_entries()}
 
     def manifest_entries(self) -> List[Dict]:
         if not self._manifest_path.exists():
             return []
+        out = []
         with open(self._manifest_path, encoding="utf-8") as f:
-            return [json.loads(l) for l in f if l.strip()]
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except ValueError:
+                    # torn tail from a crash mid-append: the commit it
+                    # belonged to never completed, so skipping it keeps
+                    # the manifest a consistent snapshot prefix
+                    continue
+        return out
 
     def _append_manifest(self, entry: Dict) -> None:
-        """Atomic append: write full manifest to temp, rename over."""
-        entries = self.manifest_entries()
-        entries.append(entry)
-        tmp = self._manifest_path.with_suffix(".tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            for e in entries:
-                f.write(json.dumps(e) + "\n")
-        os.replace(tmp, self._manifest_path)
+        """O(1) append: one JSON line + flush + fsync (round 2 rewrote
+        the WHOLE manifest per commit — O(N²) lines over N partitions).
+        Crash atomicity is line-level (see manifest_entries)."""
+        with open(self._manifest_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     # -- write ----------------------------------------------------------------
 
@@ -111,26 +134,26 @@ class CheckpointedSink:
             t0 = time.time()
             subset = pages.where(F.col("_part_id").isin(wave))
             out = transform(subset.drop("_part_id"))
-            # one pass writes every partition dir of the wave
+            # one pass writes every partition dir of the wave; the
+            # observe() aggregates piggyback on that same job, so the
+            # per-partition metrics cost ZERO extra scans (round 1
+            # re-read the output 3x, round 2 1x)
             out_part = F.pmod(F.xxhash64(F.col(key_col)),
                               F.lit(self.n_partitions)).cast("int")
-            (out.withColumn("part_id", out_part)
-                .write.mode("overwrite")
-                .partitionBy("part_id").parquet(str(self.path / "_wave_tmp")))
+            staged = out.withColumn("part_id", out_part)
+            obs = Observation()
+            staged = staged.observe(
+                obs, *self._observe_aggs(wave, out.columns))
             wave_tmp = self.path / "_wave_tmp"
-
-            # ONE aggregation job over the wave output computes every
-            # per-partition metric (rows in/kept + entities by type) —
-            # round 1 re-read each committed partition 3x (count,
-            # where(keep).count, explode+collect = 3 jobs/partition).
-            # Trick: each row emits one NULL marker element plus its
-            # entity types; a single groupBy(part_id, etype) then holds
-            # row counts (etype IS NULL) and entity counts (etype =
-            # type) side by side.
-            spark = out.sparkSession
-            metrics = self._wave_metrics(spark, wave_tmp, out.columns)
+            (staged.write.mode("overwrite")
+                   .partitionBy("part_id").parquet(str(wave_tmp)))
+            # wall_ms covers exactly the transform+write job (ADVICE
+            # r2: metrics no longer run a separate timed job)
             wall_ms = int((time.time() - t0) * 1000)
+            metrics = self._metrics_from_observation(obs.get, wave,
+                                                     out.columns)
 
+            empty_out = None
             for k in wave:
                 src = wave_tmp / f"part_id={k}"
                 dst = self.path / f"part_id={k}"
@@ -141,9 +164,13 @@ class CheckpointedSink:
                 else:
                     # schema-bearing empty partition: read() stays
                     # uniform and never hits schema inference on an
-                    # empty dir
-                    (out.where(F.lit(False))
-                        .write.mode("overwrite").parquet(str(dst)))
+                    # empty dir. Built from an empty LocalRelation —
+                    # NOT out.where(False), which would re-trigger the
+                    # transform lineage once per empty partition
+                    if empty_out is None:
+                        empty_out = out.sparkSession.createDataFrame(
+                            [], out.schema)
+                    empty_out.write.mode("overwrite").parquet(str(dst))
 
                 m = metrics.get(k, {"rows_in": 0, "rows_kept": 0,
                                     "entities": {}})
@@ -166,36 +193,58 @@ class CheckpointedSink:
             shutil.rmtree(wave_tmp)
         return committed
 
-    @staticmethod
-    def _wave_metrics(spark, wave_tmp: Path, columns) -> Dict[int, Dict]:
-        """Per-partition {rows_in, rows_kept, entities} from a single
-        scan + single shuffle over the freshly written wave output."""
-        try:
-            written = spark.read.parquet(str(wave_tmp))
-        except Exception:   # noqa: BLE001 — wave produced no rows at all
-            return {}
-        kept = (F.col("keep").cast("int") if "keep" in written.columns
-                else F.lit(1))
-        if "entities" in written.columns:
-            etype = F.explode_outer(F.concat(
-                F.array(F.lit(None).cast("string")),
-                F.transform("entities", lambda e: e["type"]))).alias("etype")
-        else:
-            etype = F.lit(None).cast("string").alias("etype")
-        rows = (written.select("part_id", kept.alias("k"), etype)
-                       .groupBy("part_id", "etype")
-                       .agg(F.count("*").alias("n"),
-                            F.sum("k").alias("n_kept"))
-                       .collect())
+    def _observe_aggs(self, wave: List[int], columns) -> List[F.Column]:
+        """observe() aggregate columns computing every per-partition
+        metric inside the write job itself. Per partition k of the
+        wave: rows in, rows kept, one count per known entity type, and
+        an ``_untyped`` bucket for NULL/unknown types (a NULL-typed
+        entity must never fold into the row counts — ADVICE r2).
+
+        Cost: wave_size × (2 + n_types) conditional sums evaluated
+        per row during the write — stays in codegen, no shuffle, no
+        extra scan at any corpus size."""
+        kept = (F.col("keep").cast("long") if "keep" in columns
+                else F.lit(1).cast("long"))
+        known = self.entity_types
+        aggs = []
+        for k in wave:
+            is_k = F.col("part_id") == k
+            aggs.append(F.sum(is_k.cast("long")).alias(f"in_{k}"))
+            aggs.append(F.sum(F.when(is_k, kept).otherwise(F.lit(0)))
+                         .alias(f"kept_{k}"))
+            if "entities" not in columns:
+                continue
+            ents = F.col("entities")
+            for i, t in enumerate(known):
+                n_t = F.when(ents.isNull(), F.lit(0)).otherwise(
+                    F.size(F.filter(ents, lambda e: e["type"] == F.lit(t))))
+                aggs.append(F.sum(F.when(is_k, n_t).otherwise(F.lit(0)))
+                             .alias(f"ent_{k}_{i}"))
+            n_unknown = F.when(ents.isNull(), F.lit(0)).otherwise(
+                F.size(F.filter(
+                    ents,
+                    lambda e: ~F.coalesce(e["type"].isin(known),
+                                          F.lit(False)))))
+            aggs.append(F.sum(F.when(is_k, n_unknown).otherwise(F.lit(0)))
+                         .alias(f"ent_{k}_x"))
+        return aggs
+
+    def _metrics_from_observation(self, vals: Dict, wave: List[int],
+                                  columns) -> Dict[int, Dict]:
         out: Dict[int, Dict] = {}
-        for r in rows:
-            m = out.setdefault(int(r["part_id"]),
-                               {"rows_in": 0, "rows_kept": 0, "entities": {}})
-            if r["etype"] is None:          # the per-row marker element
-                m["rows_in"] = r["n"]
-                m["rows_kept"] = int(r["n_kept"] or 0)
-            else:
-                m["entities"][r["etype"]] = r["n"]
+        for k in wave:
+            ents: Dict[str, int] = {}
+            if "entities" in columns:
+                for i, t in enumerate(self.entity_types):
+                    n = int(vals.get(f"ent_{k}_{i}") or 0)
+                    if n:
+                        ents[t] = n
+                n_x = int(vals.get(f"ent_{k}_x") or 0)
+                if n_x:
+                    ents["_untyped"] = n_x
+            out[k] = {"rows_in": int(vals.get(f"in_{k}") or 0),
+                      "rows_kept": int(vals.get(f"kept_{k}") or 0),
+                      "entities": ents}
         return out
 
     # -- read ------------------------------------------------------------------

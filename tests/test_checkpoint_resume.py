@@ -153,3 +153,31 @@ def test_time_travel_reads(spark, tmp_path, pipe):
         spark, as_of_ts=entries[-1]["committed_at"]).count() == full
     with pytest.raises(FileNotFoundError):
         sink.read(spark, as_of_ts="1970-01-01T00:00:00")
+
+
+def test_manifest_torn_tail_and_untyped_entities(spark, tmp_path):
+    """O(1)-append manifest semantics: a crash mid-append leaves a torn
+    final line that readers skip (the commit never completed); entities
+    with NULL/unknown type count under _untyped, never into row counts
+    (ADVICE r2)."""
+    df = spark.createDataFrame(
+        [("u1", True, [("EMAIL_ADDRESS",), (None,)]),
+         ("u2", False, None)],
+        "url string, keep boolean, entities array<struct<type:string>>")
+    sink = CheckpointedSink(str(tmp_path / "t"), n_partitions=2)
+    sink.run(df, lambda d: d)
+    entries = sink.manifest_entries()
+    assert sum(e["rows_in"] for e in entries) == 2
+    assert sum(e["rows_kept"] for e in entries) == 1
+    ents = {}
+    for e in entries:
+        for t, n in e["entities"].items():
+            ents[t] = ents.get(t, 0) + n
+    assert ents == {"EMAIL_ADDRESS": 1, "_untyped": 1}
+
+    with open(sink._manifest_path, "a", encoding="utf-8") as f:
+        f.write('{"partition_id": 99, "rows_in"')   # torn tail
+    assert sink.committed_partitions() == {0, 1}
+    assert len(sink.manifest_entries()) == 2
+    # a later commit appends cleanly after the torn line is ignored
+    assert sink.run(df, lambda d: d) == 0   # nothing left to do
