@@ -400,3 +400,110 @@ def test_embedding_lsh_bucket_cap(spark):
     capped = embedding_near_dup_pairs(emb, 0.4, dim=8, max_bucket=10)
     assert ({(r.id_a, r.id_b) for r in capped.collect()}
             == {(100, 101)})
+
+
+def _make_png(w, h, color_type=2, filters=(0, 1, 2, 3, 4)):
+    """Hand-built 8-bit PNG with the same gradient as _make_ppm,
+    cycling through all five filter types row by row."""
+    import struct
+    import zlib
+    bpp = {0: 1, 2: 3}[color_type]
+
+    def px(x, y):
+        if color_type == 0:
+            return [(x * 7 + y * 13) % 256]
+        return [(x * 7 + y * 13 + c) % 256 for c in range(3)]
+
+    prev = [0] * (w * bpp)
+    raw = bytearray()
+    for y in range(h):
+        cur = [v for x in range(w) for v in px(x, y)]
+        f = filters[y % len(filters)]
+        enc = []
+        for i, v in enumerate(cur):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (a if (pa <= pb and pa <= pc)
+                        else (b if pb <= pc else c))
+            enc.append((v - pred) & 0xFF)
+        raw += bytes([f]) + bytes(enc)
+        prev = cur
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_real_png_decode_all_filters():
+    from pii_extract_base_spark.operators.multimodal import decode_image
+    png = decode_image(_make_png(13, 7))
+    ppm = decode_image(_make_ppm(13, 7))
+    assert png.shape == (7, 13, 3)
+    assert (png == ppm).all()       # same pixels through both codecs
+    gray = decode_image(_make_png(9, 6, color_type=0))
+    assert gray.shape == (6, 9)
+    assert gray[2, 3] == (3 * 7 + 2 * 13) % 256
+    # malformed PNGs raise ValueError (fail fast, never executor-crash)
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_image(_make_png(4, 4)[:40])   # truncated mid-chunk
+
+
+def test_real_png_features_spark(spark):
+    from pii_extract_base_spark.operators.multimodal import image_features
+    rows = [("img://png", _make_png(16, 16)),
+            ("img://ppm", _make_ppm(16, 16))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r.url: r.features for r in
+           image_features(df, decode="real").collect()}
+    assert out["img://png"] == out["img://ppm"]
+
+
+def test_real_wav_24bit_odd_window(spark):
+    """24-bit PCM with frame_bytes not a multiple of 3 (the ADVICE r2
+    audioop crash case): the tail partial sample truncates and RMS is
+    computed at the true width — no audioop dependency (removed in
+    Python 3.13)."""
+    import io
+    import math
+    import struct
+    import wave
+    amp = 4_000_000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        frames = bytearray()
+        for i in range(2000):
+            v = int(amp * math.sin(2 * math.pi * 440 * i / 8000))
+            frames += struct.pack("<i", v)[:3]
+        wf.writeframes(bytes(frames))
+    from pii_extract_base_spark.operators.multimodal import (
+        audio_frame_sample)
+    df = spark.createDataFrame([("a24.wav", buf.getvalue())],
+                               "url string, html binary")
+    got = audio_frame_sample(df, decode="real", frame_bytes=256,
+                             max_frames=3).collect()
+    assert len(got) == 3
+    expect = amp / math.sqrt(2)
+    for r in got:
+        assert 0.5 * expect < r.rms < 1.5 * expect
