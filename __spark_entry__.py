@@ -508,6 +508,26 @@ def q40_repeat_buyers_both_years(spark, sf_dir):
     return a.intersectAll(b)
 
 
+def q42_session_windows(spark, sf_dir):
+    """Event-time sessionization via native F.session_window (30-min
+    gap): one row per (user, session) with start/end/count. Semantics
+    (verified empirically + replayed by the DuckDB oracle): an event
+    at EXACTLY gap distance merges (a new session starts only when the
+    gap is STRICTLY exceeded), and session_end = last event + gap.
+    The same gap rule drives the streaming renderings — native
+    session_window over readStream and the applyInPandasWithState
+    operator (tests/test_streaming_stateful.py asserts all three
+    produce identical session rows for a replayed event set)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id",
+                      F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"),
+                      "n_events"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -568,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_dedup_corpus": q39_dedup_corpus,
         "q40_repeat_buyers_both_years": q40_repeat_buyers_both_years,
         "q41_daily_orders_vs_events": q41_daily_orders_vs_events,
+        "q42_session_windows": q42_session_windows,
     }
 
 
@@ -1053,6 +1074,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_orders, 0) AS n_orders,
                    coalesce(n_events, 0) AS n_events
             FROM od FULL OUTER JOIN ed USING (day)
+        """,
+        "q42_session_windows": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts) IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS s
+                FROM events
+            ),
+            sid AS (
+                SELECT user_id, ts,
+                       sum(s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM sid GROUP BY user_id, sess
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal

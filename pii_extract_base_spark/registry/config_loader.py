@@ -19,6 +19,7 @@ The module base config plays the role of the reference's bundled
 
 import copy
 import json
+import re
 from pathlib import Path
 from typing import Dict, List, Optional, Union
 
@@ -29,6 +30,12 @@ from ..kernel.exceptions import InvArgException
 FMT_PREFIX = "piisa:config:"
 
 KNOWN_TAGS = (FMT_CONFIG_PLUGIN, FMT_CONFIG_TASKS, FMT_CONFIG_TASKCFG)
+
+# any "<module>:<name>:v<N>" shape counts as a config tag: a shared
+# PIISA multi-config may carry sections for OTHER modules (e.g.
+# pii-transform:*) which the reference's load_config passes through
+# untouched rather than rejecting (ADVICE r2)
+_TAG_RE = re.compile(r"^[\w.-]+:[\w.-]+:v\d+$")
 
 # analogue of reference resources/plugins.json:1-8 — a default plugin
 # load order (first-party detector plugin sets, loaded if installed)
@@ -62,8 +69,9 @@ def _as_sections(src: TYPE_CONFIG) -> Dict[str, Dict]:
         raise InvArgException("invalid config source: {}", type(src))
     if "format" in src:
         return {config_tag(src["format"]): src}
-    if src and all(k in KNOWN_TAGS for k in src):
+    if src and all(k in KNOWN_TAGS or _TAG_RE.match(k) for k in src):
         return src                       # already a merged multi-config
+                                         # (foreign tags pass through)
     # legacy/untagged shorthand: route by content
     if "task_config" in src:
         return {FMT_CONFIG_TASKCFG: src}

@@ -103,3 +103,17 @@ def test_taskconfig_reaches_build(tmp_path):
              if t.task_info.name == "international phone number"]
     assert phone and phone[0].context is None
     assert phone[0].task_info.method == "regex"   # ",context" stripped
+
+
+def test_foreign_module_sections_pass_through():
+    """A shared PIISA multi-config carrying sections for OTHER modules
+    (e.g. pii-transform:*) loads without error and the foreign section
+    survives untouched (reference load_config passes it through)."""
+    from pii_extract_base_spark.registry.config_loader import load_config
+    cfg = {
+        "pii-extract:task-config:v1": {"task_config": [{"name": "x"}]},
+        "pii-transform:main:v1": {"policy": "redact"},
+    }
+    out = load_config(cfg)
+    assert out["pii-transform:main:v1"] == {"policy": "redact"}
+    assert out["pii-extract:task-config:v1"]["task_config"] == [{"name": "x"}]

@@ -83,3 +83,87 @@ def test_sessionize_events_stateful(spark, tmp_path):
         time.sleep(1)
     q.stop()
     assert got == expected
+
+
+def test_session_rows_identical_across_renderings(spark, tmp_path):
+    """VERDICT r2 #6: the SAME event-time gap rule (new session only
+    when the gap is STRICTLY exceeded; verified against the q42 batch
+    semantics) produces identical session rows in all three renderings:
+    batch F.session_window, streaming F.session_window (watermark +
+    append), and the custom applyInPandasWithState operator."""
+    import time
+
+    from pii_extract_base_spark.streaming.stateful import (
+        sessionize_events)
+
+    base = 1_700_000_000
+    data = []
+    for dt in (0, 60, 120, 7800, 7860):       # user 7: 2 sessions (3+2)
+        data.append((7, base + dt))
+    # user 8: events 0/300/2100 are ONE session (2100-300 = exactly the
+    # gap -> merges); 3902 is 1802 past 2100 -> second session
+    for dt in (0, 300, 2100, 3902):
+        data.append((8, base + dt))
+    data.append((999, base + 10 ** 6))        # watermark sentinel
+    in_dir = str(tmp_path / "ev")
+    (spark.createDataFrame(data, "user_id long, epoch long")
+          .select("user_id", F.timestamp_seconds("epoch").alias("ts"))
+          .write.parquet(in_dir))
+
+    def sessions(frame):
+        return (frame.groupBy(
+                    "user_id",
+                    F.session_window("ts", "30 minutes").alias("w"))
+                .agg(F.count("*").alias("n_events"))
+                .select("user_id",
+                        F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        "n_events"))
+
+    batch = {tuple(r)
+             for r in sessions(spark.read.parquet(in_dir)).collect()
+             if r.user_id != 999}
+    # sanity: the exactly-1800s-gap event merged into user 8's 1st
+    # session (3 events), and the 1802s gap started a 2nd (1 event)
+    assert {(u, n) for u, _, _, n in batch if u == 8} == {(8, 3), (8, 1)}
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(in_dir))
+    q = (sessions(stream.withWatermark("ts", "1 second"))
+         .writeStream.format("memory").queryName("nsess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_n"))
+         .trigger(availableNow=True).start())
+    got = set()
+    for _ in range(120):
+        got = {tuple(r) for r in spark.sql("select * from nsess").collect()
+               if r.user_id != 999}
+        if got == batch or not q.isActive:
+            break
+        time.sleep(1)
+    if q.isActive:
+        q.stop()
+    assert got == batch
+
+    # custom stateful operator: session_end = last event ts, i.e.
+    # native end - gap; same splits otherwise
+    from datetime import timedelta
+    expected_custom = {(u, s, e - timedelta(minutes=30), n)
+                       for u, s, e, n in batch}
+    stream2 = (spark.readStream.schema("user_id long, ts timestamp")
+               .parquet(in_dir))
+    sess2 = sessionize_events(stream2.where(F.col("user_id") != 999),
+                              idle_timeout_ms=5000)
+    q2 = (sess2.writeStream.format("memory").queryName("csess")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ck_c"))
+          .trigger(availableNow=True).start())
+    got2 = set()
+    for _ in range(120):
+        got2 = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.sql("select * from csess").collect()}
+        if got2 == expected_custom or not q2.isActive:
+            break
+        time.sleep(1)
+    q2.stop()
+    assert got2 == expected_custom
