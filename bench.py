@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q22_lsh_dup_candidates",
     "q23_simhash",
     "q33_lsh_bucket_knn",
+    "q42_session_windows",
 ]
 
 

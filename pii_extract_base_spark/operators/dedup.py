@@ -93,16 +93,19 @@ def _cap_buckets(rows: DataFrame, key_cols: List[str],
     OTHER bands/tables; byte-identical boilerplate (the usual cause) is
     caught by the exact-dup pass in dedup_corpus regardless.
 
-    Plan shape: the over-cap keys come from a partial-aggregated
-    groupBy (map-side combine → tiny result: one row per over-cap
-    bucket) and are BROADCAST into a left_anti join, so the bands
-    relation is never reshuffled for the cap.
+    Plan shape: a COUNT window over the bucket key, then filter — the
+    rows relation is computed ONCE and shuffled ONCE on the same key
+    the self-join uses, so both join sides read the identical windowed
+    subtree and Spark's ReuseExchange materializes it a single time.
+    (The alternative — groupBy the over-cap keys + broadcast anti-join
+    — computes the rows subtree twice because the count aggregate is a
+    second, non-reusable consumer; measured ~2x wall on q17/q22.)
     """
-    over = (rows.groupBy(*key_cols)
-                .agg(F.count("*").alias("_n"))
-                .where(F.col("_n") > max_bucket)
-                .select(*key_cols))
-    return rows.join(F.broadcast(over), key_cols, "left_anti")
+    from pyspark.sql import Window
+    w = Window.partitionBy(*key_cols)
+    return (rows.withColumn("_bsz", F.count("*").over(w))
+                .where(F.col("_bsz") <= max_bucket)
+                .drop("_bsz"))
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
