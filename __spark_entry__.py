@@ -528,6 +528,53 @@ def q42_session_windows(spark, sf_dir):
                       "n_events"))
 
 
+def q43_purchase_click_asof(spark, sf_dir):
+    """As-of join (operator Spark lacks natively): each purchase event
+    attributed to the user's LATEST click at-or-before it. One shuffle
+    on user_id + one sort of the unioned stream (operators/asof.py);
+    the DuckDB oracle replays it with a native ASOF JOIN. gap_us is an
+    exact integer (unix_micros ↔ epoch_us), no float rounding."""
+    from pii_extract_base_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                   .select("user_id", "event_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("cts")))
+    out = asof_join(purchases, clicks, by="user_id",
+                    left_ts="ts", right_ts="cts",
+                    right_cols=["cts"], how="inner")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("cts_asof").alias("click_ts"),
+        (us("ts") - us("cts_asof")).alias("gap_us"))
+
+
+def q44_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 tokens per document by
+    tf·ln((N+1)/(df+1)), deterministic tiebreak on token. Plan: explode
+    → (doc,token) hash agg → vocabulary df agg → shuffle join on token
+    → per-doc top-k window; the corpus size N rides along as a
+    broadcast 1-row join (no driver collect)."""
+    from pii_extract_base_spark.functions.textstats import words_col
+    docs = _t(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(words_col("text")).alias("token"))
+              .groupBy("doc_id", "token")
+              .agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "token").join(F.broadcast(n))
+                .select("doc_id", "token",
+                        F.round(F.col("tf") * F.log(
+                            (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                            6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"),
+                                             F.asc("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .where(F.col("rnk") <= 3)
+                  .select("doc_id", "token", "tfidf", "rnk"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -589,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_repeat_buyers_both_years": q40_repeat_buyers_both_years,
         "q41_daily_orders_vs_events": q41_daily_orders_vs_events,
         "q42_session_windows": q42_session_windows,
+        "q43_purchase_click_asof": q43_purchase_click_asof,
+        "q44_tfidf_top_terms": q44_tfidf_top_terms,
     }
 
 
@@ -1097,6 +1146,39 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 30 MINUTE AS session_end,
                    count(*) AS n_events
             FROM sid GROUP BY user_id, sess
+        """,
+        "q43_purchase_click_asof": """
+            SELECT p.user_id, p.event_id, p.ts, c.cts AS click_ts,
+                   (epoch_us(p.ts) - epoch_us(c.cts)) AS gap_us
+            FROM (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT user_id, ts AS cts FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.cts
+        """,
+        "q44_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({words}) AS token FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, token,
+                       round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6)
+                           AS tfidf
+                FROM tf JOIN dfreq USING (token), n
+            )
+            SELECT doc_id, token, tfidf, rnk FROM (
+                SELECT doc_id, token, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC,
+                                                   token ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 3
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal

@@ -1,0 +1,78 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For each left row, attach the LATEST right row whose timestamp is
+at-or-before the left timestamp within the same key group (the
+standard attribution / slowly-changing-dimension lookup; DuckDB and
+kdb expose it as ASOF JOIN, which is exactly how the driver oracle
+replays it).
+
+Spark rendering (composition of built-ins, SURVEY.md custom-operator
+rule (a)): tag and UNION the two streams, ONE shuffle on the key +
+ONE sort on (ts, side), then `last(ignorenulls)` over an unbounded-
+preceding row frame forward-fills each left row with the most recent
+right payload. This is the sort-merge ASOF plan — no per-row range
+probe, no range cross-join, no window self-join; cost is one shuffle
+of (|L| + |R|) narrow rows regardless of time-range density, which is
+the shape that survives 100 TB (a naive `L JOIN R ON l.key = r.key
+AND r.ts <= l.ts` + max() explodes quadratically inside hot keys).
+
+Tie rules: a right row at EXACTLY the left timestamp matches (<=,
+right sorts before left at equal ts); two right rows tied on
+(key, ts) resolve to their sort order — callers needing stronger
+determinism should dedup right to one row per (key, ts) first.
+"""
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+ASOF_SUFFIX = "_asof"
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str,
+              left_ts: str, right_ts: str,
+              right_cols: Optional[List[str]] = None,
+              how: str = "left") -> DataFrame:
+    """left.* plus ``<col>_asof`` for every ``right_cols`` entry,
+    carrying the latest right value with right_ts <= left_ts per `by`
+    group. how="left" keeps unmatched left rows (NULL payload);
+    how="inner" drops them.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (by, right_ts)]
+    if how not in ("left", "inner"):
+        raise ValueError(f"unsupported how: {how!r}")
+
+    payload = [f"{c}{ASOF_SUFFIX}" for c in right_cols]
+    # matched-marker: the right timestamp itself, always carried
+    marker = f"{right_ts}{ASOF_SUFFIX}__m"
+    r_types = dict(zip(right.columns, [f.dataType for f in right.schema]))
+
+    left_cols = list(left.columns)
+    r = right.select(
+        F.col(by),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias(marker),
+        *[F.col(c).alias(p) for c, p in zip(right_cols, payload)],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c != by],
+    )
+    l = left.select(
+        F.col(by),
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_types[right_ts]).alias(marker),
+        *[F.lit(None).cast(r_types[c]).alias(p)
+          for c, p in zip(right_cols, payload)],
+        *[F.col(c) for c in left_cols if c != by],
+    )
+    w = (Window.partitionBy(by).orderBy("_ats", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = r.unionByName(l)
+    for p in [marker] + payload:
+        filled = filled.withColumn(p, F.last(p, ignorenulls=True).over(w))
+    out = filled.where(F.col("_side") == 1)
+    if how == "inner":
+        out = out.where(F.col(marker).isNotNull())
+    return out.select(*left_cols, *payload)

@@ -29,29 +29,42 @@ AUDIT = {
     "q12_exact_dup_groups": ["HashAggregate", "ReadSchema"],
     "q14_knn_cosine_top5": ["BroadcastNestedLoopJoin|BroadcastExchange"],
     "q18_ivf_topk": ["BroadcastHashJoin"],
-    # md5slice family aggregates min() over STRINGS (cross-engine
-    # verifiable vs DuckDB) → Spark picks SortAggregate, since string
-    # min has no mutable hash buffer; the production xxhash64 family
-    # (longs) hash-aggregates — asserted separately below.
-    "q16_minhash_signatures": ["Generate", "SortAggregate|HashAggregate"],
-    # round-2 verified scale paths: bucketed equi-joins, never a
-    # cartesian product; simhash is one projection (no aggregate node)
+    # r3: md5slice family aggregates min() over LONGS (conv(hex,16,10),
+    # order-isomorphic to the hex slices, still DuckDB-replayable) —
+    # map-side-combinable HashAggregate, no SortAggregate anywhere
+    "q16_minhash_signatures": ["Generate", "HashAggregate"],
+    # round-2/3 verified scale paths: bucketed equi-joins, never a
+    # cartesian product; r3 adds the bucket-size cap as a count Window
+    # over the bucket key BEFORE the self-join (the last quadratic
+    # hazard); simhash is one projection (no aggregate node)
     "q17_embedding_near_dups": ["SortMergeJoin|BroadcastHashJoin|"
-                                "ShuffledHashJoin"],
+                                "ShuffledHashJoin", "Window"],
+    "q22_lsh_dup_candidates": ["Window", "HashAggregate"],
     "q33_lsh_bucket_knn": ["BroadcastHashJoin|SortMergeJoin"],
     "q23_simhash": ["Project", "Batched: true"],
     "q31_cube_stats": ["Expand", "HashAggregate"],
     "q35_priority_pivot": ["HashAggregate"],
-    "q39_dedup_corpus": ["LeftAnti"],
+    "q39_dedup_corpus": ["LeftAnti", "Window"],
     "q41_daily_orders_vs_events": ["FullOuter"],
+    # native session windows: dedicated MergingSessions operator with a
+    # partial (map-side) session aggregate before the user_id shuffle
+    "q42_session_windows": ["MergingSessions", "partial_count"],
+    # as-of join rendering: union + ONE sort window per key — never a
+    # range cross-join (the naive l.ts >= r.ts join explodes in hot keys)
+    "q43_purchase_click_asof": ["Window", "Union"],
+    "q44_tfidf_top_terms": ["HashAggregate", "Window"],
 }
 
 # patterns that must NOT appear (scale-killers)
 FORBID = {
+    "q16_minhash_signatures": ["SortAggregate"],
     "q17_embedding_near_dups": ["CartesianProduct", "BroadcastNestedLoop"],
+    "q22_lsh_dup_candidates": ["SortAggregate", "CartesianProduct"],
     "q33_lsh_bucket_knn": ["CartesianProduct"],
     "q23_simhash": ["ArrowEvalPython", "BatchEvalPython", "HashAggregate",
                     "SortAggregate"],
+    "q39_dedup_corpus": ["SortAggregate", "CartesianProduct"],
+    "q43_purchase_click_asof": ["CartesianProduct", "BroadcastNestedLoop"],
 }
 
 

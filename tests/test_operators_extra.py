@@ -507,3 +507,29 @@ def test_real_wav_24bit_odd_window(spark):
     expect = amp / math.sqrt(2)
     for r in got:
         assert 0.5 * expect < r.rms < 1.5 * expect
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: latest right row with ts <= left ts per key; exact-
+    ts matches; left rows before any right row get NULL (left) or drop
+    (inner). One shuffle + one sort — no range cross-join."""
+    from pii_extract_base_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "L0"), (1, 20, "L1"), (1, 5, "Lpre"), (2, 50, "L2")],
+        "k long, t long, lbl string")
+    right = spark.createDataFrame(
+        [(1, 10, "A"), (1, 15, "B"), (2, 60, "C")],
+        "k long, t long, v string")
+    out = asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                    right_cols=["v"], how="left")
+    got = {(r.k, r.t): r.v_asof for r in out.collect()}
+    assert got == {(1, 5): None,      # before any right row
+                   (1, 10): "A",      # exact-ts right row matches (<=)
+                   (1, 20): "B",      # latest at-or-before
+                   (2, 50): None}     # right rows only after
+    inner = asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                      right_cols=["v"], how="inner")
+    assert {(r.k, r.t) for r in inner.collect()} == {(1, 10), (1, 20)}
+    with pytest.raises(ValueError):
+        asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                  right_cols=["v"], how="full")
