@@ -575,6 +575,52 @@ def q44_tfidf_top_terms(spark, sf_dir):
                   .select("doc_id", "token", "tfidf", "rnk"))
 
 
+def q45_price_band_ranges(spark, sf_dir):
+    """Range (interval) join — chunked-equi-join rewrite, NOT a
+    BroadcastNestedLoopJoin: parts land in OVERLAPPING price bands
+    (stride 8, width 15, so most prices match two bands); per-band
+    count + avg. The DuckDB oracle uses the naive inequality join —
+    proving the chunked plan computes identical point-in-range
+    semantics."""
+    from pii_extract_base_spark.operators.rangejoin import range_join
+    part = _t(spark, sf_dir, "part")
+    bands = spark.range(12).select(
+        F.col("id").alias("band_id"),
+        (895.0 + F.col("id") * 8.0).alias("lo"),
+        (910.0 + F.col("id") * 8.0).alias("hi"))
+    pts = part.select("p_partkey", "p_retailprice")
+    hits = range_join(pts, bands, "p_retailprice", "lo", "hi",
+                      chunk=8.0, range_cols=["band_id"])
+    return (hits.groupBy("band_id")
+                .agg(F.count("*").alias("n_parts"),
+                     F.sum("p_partkey").alias("sum_keys"),
+                     F.round(F.avg("p_retailprice"), 4).alias("avg_price")))
+
+
+def q46_stratified_sample(spark, sf_dir):
+    """Deterministic stratified down-sampling (corpus curation): keep
+    25% of en, 50% of es, 10% of fr, 100% of the rest — each row's fate
+    a pure function of md5(doc_id), so the sample is identical across
+    retries/resumes and engine-replayable. Native CASE filter, no
+    shuffle, no UDF."""
+    from pii_extract_base_spark.functions.sampling import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, "lang", "doc_id",
+                             {"en": 0.25, "es": 0.5, "fr": 0.1},
+                             bucket_alias="bucket")
+    return samp.select("doc_id", "lang", "bucket")
+
+
+def q47_ngram_jaccard_dups(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs via a capped shingle
+    inverted index (stop-shingles with df > 500 dropped before the
+    posting self-join — the same quadratic-bucket bound as LSH). The
+    non-probabilistic sibling of q22: no banding false negatives."""
+    from pii_extract_base_spark.operators.dedup import inverted_index_jaccard
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index_jaccard(docs, k=5, threshold=0.2, max_df=500)
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -638,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_session_windows": q42_session_windows,
         "q43_purchase_click_asof": q43_purchase_click_asof,
         "q44_tfidf_top_terms": q44_tfidf_top_terms,
+        "q45_price_band_ranges": q45_price_band_ranges,
+        "q46_stratified_sample": q46_stratified_sample,
+        "q47_ngram_jaccard_dups": q47_ngram_jaccard_dups,
     }
 
 
@@ -1179,6 +1228,59 @@ def oracle_sql() -> dict[str, str]:
                                                    token ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 3
+        """,
+        "q45_price_band_ranges": """
+            WITH bands AS (
+                SELECT range AS band_id,
+                       895.0 + range * 8.0 AS lo,
+                       910.0 + range * 8.0 AS hi
+                FROM range(0, 12)
+            )
+            SELECT b.band_id,
+                   count(*) AS n_parts,
+                   sum(p.p_partkey)::BIGINT AS sum_keys,
+                   round(avg(p.p_retailprice), 4) AS avg_price
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+            GROUP BY b.band_id
+        """,
+        "q46_stratified_sample": """
+            SELECT doc_id, lang, bucket FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                           % 10000 AS bucket
+                FROM documents
+            )
+            WHERE bucket < (CASE lang WHEN 'en' THEN 2500
+                                      WHEN 'es' THEN 5000
+                                      WHEN 'fr' THEN 1000
+                                      ELSE 10000 END)
+        """,
+        "q47_ngram_jaccard_dups": f"""
+            WITH post AS (
+                SELECT doc_id, sh FROM (
+                    SELECT doc_id, unnest({shingles5}) AS sh
+                    FROM documents
+                ) QUALIFY count(*) OVER (PARTITION BY sh) <= 500
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS common
+                FROM post a JOIN post b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b,
+                       round(common::DOUBLE
+                             / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = common.id_a
+                JOIN sizes sb ON sb.doc_id = common.id_b
+            ) WHERE jaccard >= 0.2
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal

@@ -326,6 +326,54 @@ def simhash_col(text_col: str = "text", bits: int = 64,
         F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def inverted_index_jaccard(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           threshold: float = 0.5,
+                           max_df: int = 500) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted
+    index — the non-probabilistic sibling of banded MinHash (no false
+    negatives above the threshold among DISCRIMINATIVE shingles).
+
+    Plan: explode shingles → posting list (shingle, id); shingles whose
+    document frequency exceeds ``max_df`` are dropped BEFORE the
+    posting self-join (a boilerplate shingle shared by B docs emits
+    ~B²/2 pair rows — the same quadratic hazard _cap_buckets bounds for
+    LSH, and the standard IR mitigation: stop-shingle removal). Set
+    sizes are recomputed over the SURVIVING postings, so the score is
+    the exact Jaccard of the discriminative-shingle sets — a
+    well-defined, engine-replayable semantic rather than a truncated
+    approximation of the raw one. Then: self-join postings on shingle
+    (one shuffle on the capped shingle key), count common shingles per
+    (a, b) pair, join the two set sizes, filter >= threshold.
+
+    At corpus scale this shuffles only (shingle-hash, id) postings —
+    never text — and the pair aggregation is a map-side-combinable
+    count. Use LSH (`lsh_candidate_pairs`) when even the capped posting
+    join is too wide; use this when exactness over discriminative
+    shingles matters (eval sets, legal dedup).
+    """
+    post = (df.select(F.col(id_col),
+                      F.explode(shingles(text_col, k)).alias("sh")))
+    post = _cap_buckets(post, ["sh"], max_df)
+    sizes = post.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a, b = post.alias("a"), post.alias("b")
+    common = (a.join(b, "sh")
+               .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+               .agg(F.count("*").alias("common")))
+    jac = (F.col("common").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("common")))
+    return (common
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("n_sh").alias("na")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("n_sh").alias("nb")), "id_b")
+            .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", bits: int = 16,
                          family: str = "xxhash64") -> DataFrame:

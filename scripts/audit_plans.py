@@ -53,6 +53,12 @@ AUDIT = {
     # range cross-join (the naive l.ts >= r.ts join explodes in hot keys)
     "q43_purchase_click_asof": ["Window", "Union"],
     "q44_tfidf_top_terms": ["HashAggregate", "Window"],
+    # range join rendered as chunk-id equi-join (never a nested loop)
+    "q45_price_band_ranges": ["Generate", "HashAggregate"],
+    # stratified sample: native CASE filter fused into the scan stage
+    "q46_stratified_sample": ["Filter"],
+    # inverted index: capped postings (count window) + pair hash agg
+    "q47_ngram_jaccard_dups": ["Window", "HashAggregate"],
 }
 
 # patterns that must NOT appear (scale-killers)
@@ -65,6 +71,10 @@ FORBID = {
                     "SortAggregate"],
     "q39_dedup_corpus": ["SortAggregate", "CartesianProduct"],
     "q43_purchase_click_asof": ["CartesianProduct", "BroadcastNestedLoop"],
+    "q45_price_band_ranges": ["CartesianProduct", "BroadcastNestedLoop"],
+    "q46_stratified_sample": ["Exchange", "ArrowEvalPython",
+                              "BatchEvalPython"],
+    "q47_ngram_jaccard_dups": ["CartesianProduct", "SortAggregate"],
 }
 
 

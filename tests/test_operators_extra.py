@@ -533,3 +533,96 @@ def test_asof_join_semantics(spark):
     with pytest.raises(ValueError):
         asof_join(left, right, by="k", left_ts="t", right_ts="t",
                   right_cols=["v"], how="full")
+
+
+def test_range_join_semantics(spark):
+    """Chunked range join == naive inequality join: overlapping bands,
+    boundary inclusivity (lo inclusive, hi exclusive / closed_hi),
+    points outside all ranges dropped; chunk width never changes the
+    answer (exact predicate re-applied after the equi-join)."""
+    from pii_extract_base_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 14.9), (4, 15.0), (5, 99.0)],
+        "pid long, x double")
+    rng = spark.createDataFrame(
+        [(100, 0.0, 15.0), (200, 10.0, 20.0)],  # overlap on [10, 15)
+        "rid long, lo double, hi double")
+    for chunk in (1.0, 4.0, 50.0):
+        got = {(r.pid, r.rid) for r in
+               range_join(pts, rng, "x", "lo", "hi", chunk).collect()}
+        assert got == {(1, 100), (2, 100), (2, 200), (3, 100),
+                       (3, 200), (4, 200)}, chunk
+    closed = {(r.pid, r.rid) for r in
+              range_join(pts, rng, "x", "lo", "hi", 5.0,
+                         closed_hi=True).collect()}
+    assert (4, 100) in closed       # hi bound now inclusive
+    with pytest.raises(ValueError):
+        range_join(pts, rng, "x", "lo", "hi", 0.0)
+
+
+def test_range_join_no_nested_loop(spark):
+    """The whole point: the plan is an equi-join on the chunk id, not a
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    from pii_extract_base_spark.operators.rangejoin import range_join
+    pts = spark.range(100).selectExpr("id as pid",
+                                      "cast(id as double) as x")
+    rng = spark.range(10).selectExpr(
+        "id as rid", "cast(id*10 as double) as lo",
+        "cast(id*10+15 as double) as hi")
+    plan = (range_join(pts, rng, "x", "lo", "hi", 10.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_deterministic(spark):
+    """Row fate is a pure function of the key: identical across calls
+    and partitionings; realized rates near nominal; default stratum
+    kept in full; bad rate rejected."""
+    from pii_extract_base_spark.functions.sampling import (
+        hash_bucket, stratified_sample)
+    df = spark.range(4000).selectExpr(
+        "id", "case when id % 2 = 0 then 'en' else 'xx' end as lang")
+    rates = {"en": 0.25}
+    a = {r.id for r in
+         stratified_sample(df, "lang", "id", rates).collect()}
+    b = {r.id for r in
+         stratified_sample(df.repartition(7), "lang", "id",
+                           rates).collect()}
+    assert a == b                               # partitioning-invariant
+    n_en = sum(1 for i in a if i % 2 == 0)
+    assert 0.20 * 2000 < n_en < 0.30 * 2000     # ~25% of the en rows
+    assert sum(1 for i in a if i % 2 == 1) == 2000   # default rate 1.0
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", "id", {"en": 1.5})
+    # the audit column equals the filter's bucket
+    audited = stratified_sample(df, "lang", "id", rates,
+                                bucket_alias="bkt")
+    assert audited.where("bkt >= 2500 and lang = 'en'").count() == 0
+
+
+def test_inverted_index_jaccard(spark):
+    """Exact Jaccard over discriminative shingles; identical docs score
+    1.0; a boilerplate shingle shared by EVERY doc is dropped by the
+    df cap, bounding the posting self-join."""
+    from pii_extract_base_spark.operators.dedup import (
+        inverted_index_jaccard)
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                        # exact pair
+         (3, base + " india"),                        # near pair
+         (4, "one two three four five six seven")],   # unrelated
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard for r in
+           inverted_index_jaccard(docs, k=5, threshold=0.2).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.2 <= got[(1, 3)] < 1.0 and got[(2, 3)] == got[(1, 3)]
+    assert not any(4 in p for p in got)
+
+    # pathological: one shingle in all docs; with max_df=2 every
+    # posting for it disappears -> zero candidate pairs
+    boiler = spark.createDataFrame(
+        [(i, "same five word shingle here") for i in range(10)],
+        "doc_id long, text string")
+    assert inverted_index_jaccard(boiler, k=5, threshold=0.0,
+                                  max_df=2).count() == 0
