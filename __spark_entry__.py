@@ -621,6 +621,22 @@ def q47_ngram_jaccard_dups(spark, sf_dir):
     return inverted_index_jaccard(docs, k=5, threshold=0.2, max_df=500)
 
 
+def q48_salted_skew_join(spark, sf_dir):
+    """Explicit salted skew join: event_type has 5 values owning ~2000
+    rows each (the hot-key pattern); the fact side salts on event_id,
+    the dimension replicates ×8, and the equi-join runs on
+    (event_type, salt) — the hot key spreads across 8 reducers. The
+    oracle is the PLAIN join, proving row-identical semantics."""
+    from pii_extract_base_spark.partitioning import salted_join
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_total"))
+    out = salted_join(ev.select("event_id", "event_type", "value"),
+                      dim, key="event_type", salt_col="event_id",
+                      salts=8)
+    return out.select("event_id", "event_type",
+                      F.round("value", 6).alias("value"), "type_total")
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -687,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_price_band_ranges": q45_price_band_ranges,
         "q46_stratified_sample": q46_stratified_sample,
         "q47_ngram_jaccard_dups": q47_ngram_jaccard_dups,
+        "q48_salted_skew_join": q48_salted_skew_join,
     }
 
 
@@ -1281,6 +1298,15 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sa ON sa.doc_id = common.id_a
                 JOIN sizes sb ON sb.doc_id = common.id_b
             ) WHERE jaccard >= 0.2
+        """,
+        "q48_salted_skew_join": """
+            WITH dim AS (
+                SELECT event_type, count(*) AS type_total
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round(e.value, 6) AS value, d.type_total
+            FROM events e JOIN dim d USING (event_type)
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal

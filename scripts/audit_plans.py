@@ -59,6 +59,9 @@ AUDIT = {
     "q46_stratified_sample": ["Filter"],
     # inverted index: capped postings (count window) + pair hash agg
     "q47_ngram_jaccard_dups": ["Window", "HashAggregate"],
+    # salted skew join: dimension replicated via Generate (explode),
+    # fact side salted — the join key is (event_type, _salt)
+    "q48_salted_skew_join": ["Generate"],
 }
 
 # patterns that must NOT appear (scale-killers)

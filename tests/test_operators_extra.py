@@ -626,3 +626,38 @@ def test_inverted_index_jaccard(spark):
         "doc_id long, text string")
     assert inverted_index_jaccard(boiler, k=5, threshold=0.0,
                                   max_df=2).count() == 0
+
+
+def test_salted_join_equivalence(spark):
+    """Salted skew join is row-identical to the plain join (inner and
+    left, incl. unmatched keys), and the hot key's rows really spread
+    over multiple salt buckets."""
+    from pii_extract_base_spark.partitioning import salted_join, salted_key
+    import pyspark.sql.functions as F
+    # 90% of the big side on key=1 (the skew pattern), plus an
+    # unmatched key 99
+    big = spark.range(1000).selectExpr(
+        "id AS rid", "case when id % 10 = 0 then cast(id % 5 as long) "
+        "when id = 7 then cast(99 as long) else cast(1 as long) end AS k")
+    small = spark.range(5).selectExpr("id AS k", "id * 100 AS dim_val")
+
+    plain_i = {(r.rid, r.dim_val)
+               for r in big.join(small, "k", "inner").collect()}
+    salted_i = {(r.rid, r.dim_val)
+                for r in salted_join(big, small, "k", "rid").collect()}
+    assert salted_i == plain_i
+
+    plain_l = {(r.rid, r.dim_val)
+               for r in big.join(small, "k", "left").collect()}
+    salted_l = {(r.rid, r.dim_val)
+                for r in salted_join(big, small, "k", "rid",
+                                     how="left").collect()}
+    assert salted_l == plain_l and any(v is None for _, v in salted_l)
+
+    n_buckets = (big.where("k = 1")
+                 .select(salted_key("rid", 8).alias("s"))
+                 .distinct().count())
+    assert n_buckets >= 6          # hot key occupies most salt buckets
+
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", "rid", how="full")
