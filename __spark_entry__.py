@@ -637,6 +637,27 @@ def q48_salted_skew_join(spark, sf_dir):
                       F.round("value", 6).alias("value"), "type_total")
 
 
+def q49_quality_quantile_cut(spark, sf_dir):
+    """Per-stratum percentile curation: keep the longest 40% of each
+    language's documents (n_chars as the quality proxy; doc_id
+    tiebreak makes the cut total and replayable)."""
+    from pii_extract_base_spark.functions.sampling import quantile_cut
+    docs = _t(spark, sf_dir, "documents")
+    kept = quantile_cut(docs, "lang", "n_chars", 0.4, "doc_id")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def q50_domain_cap(spark, sf_dir):
+    """'Max N docs per source' crawl rule: at most 30 docs per source,
+    picked in md5(doc_id) order — an unbiased deterministic subset,
+    not rand()-sampled."""
+    from pii_extract_base_spark.functions.sampling import per_key_cap
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn("pick", F.md5(F.col("doc_id").cast("string")))
+    return (per_key_cap(keyed, "source", 30, "pick")
+            .select("doc_id", "source", "pick"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -704,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_stratified_sample": q46_stratified_sample,
         "q47_ngram_jaccard_dups": q47_ngram_jaccard_dups,
         "q48_salted_skew_join": q48_salted_skew_join,
+        "q49_quality_quantile_cut": q49_quality_quantile_cut,
+        "q50_domain_cap": q50_domain_cap,
     }
 
 
@@ -1307,6 +1330,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.event_type,
                    round(e.value, 6) AS value, d.type_total
             FROM events e JOIN dim d USING (event_type)
+        """,
+        "q49_quality_quantile_cut": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       percent_rank() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS pr
+                FROM documents
+            ) WHERE pr <= 0.4
+        """,
+        "q50_domain_cap": """
+            SELECT doc_id, source, pick FROM (
+                SELECT doc_id, source, md5(doc_id::VARCHAR) AS pick,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR) ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 30
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29 (multimodal

@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "q23_simhash",
     "q33_lsh_bucket_knn",
     "q42_session_windows",
+    "q43_purchase_click_asof",
+    "q44_tfidf_top_terms",
+    "q45_price_band_ranges",
+    "q47_ngram_jaccard_dups",
+    "q48_salted_skew_join",
 ]
 
 

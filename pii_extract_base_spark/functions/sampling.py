@@ -49,3 +49,47 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
     if bucket_alias:
         out = out.withColumn(bucket_alias, hash_bucket(key_col))
     return out
+
+
+def quantile_cut(df: DataFrame, strata_col: str, score_col: str,
+                 keep_frac: float, tiebreak_col: str,
+                 ascending: bool = False) -> DataFrame:
+    """Keep the best ``keep_frac`` of each stratum by ``score_col``
+    (descending by default — 'top 40% by quality score per language',
+    the standard perplexity/quality percentile cut). percent_rank over
+    a (stratum)-partitioned window; ``tiebreak_col`` (a unique key)
+    makes the ordering total, so the cut is deterministic and
+    engine-replayable — never rand()-sampled.
+
+    One shuffle on the stratum column. Skewed strata (one language
+    owning most of the corpus) should pre-pass salted_repartition or
+    rely on AQE; the window itself cannot salt (rank is global per
+    stratum by definition) — at 1e12 docs use the sketch quantile
+    (approx_percentile on the score) as the threshold instead and
+    filter, trading exactness for a salt-free plan.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")
+    from pyspark.sql import Window
+    order = [F.asc(score_col) if ascending else F.desc(score_col),
+             F.asc(tiebreak_col)]
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return (df.withColumn("_pr", F.percent_rank().over(w))
+              .where(F.col("_pr") <= F.lit(keep_frac))
+              .drop("_pr"))
+
+
+def per_key_cap(df: DataFrame, key_col: str, cap: int,
+                order_col: str) -> DataFrame:
+    """At most ``cap`` rows per key, chosen deterministically by
+    ``order_col`` (e.g. md5-bucket order for an unbiased pick, or a
+    quality score for a biased one) — the 'max N pages per domain'
+    crawl-curation rule. row_number over a per-key window; same skew
+    caveat as quantile_cut."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1: {cap}")
+    from pyspark.sql import Window
+    w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= cap)
+              .drop("_rn"))

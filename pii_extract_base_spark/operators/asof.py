@@ -20,6 +20,9 @@ Tie rules: a right row at EXACTLY the left timestamp matches (<=,
 right sorts before left at equal ts); two right rows tied on
 (key, ts) resolve to their sort order — callers needing stronger
 determinism should dedup right to one row per (key, ts) first.
+NULL-valued right payload columns are carried faithfully (the fill
+moves one whole right ROW as a struct, so a NULL field never falls
+through to an older row).
 """
 
 from typing import List, Optional
@@ -69,10 +72,17 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
     )
     w = (Window.partitionBy(by).orderBy("_ats", "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = r.unionByName(l)
-    for p in [marker] + payload:
-        filled = filled.withColumn(p, F.last(p, ignorenulls=True).over(w))
+    # forward-fill ONE struct per row (not per-column last(): a right
+    # payload column that is legitimately NULL must not fall through to
+    # an OLDER right row — the struct is non-null for every right row,
+    # so the fill always stops at the most recent one)
+    pack = F.when(F.col("_side") == 0,
+                  F.struct(F.col(marker).alias("_m"),
+                           *[F.col(p) for p in payload]))
+    filled = (r.unionByName(l)
+               .withColumn("_pack", F.last(pack, ignorenulls=True).over(w)))
     out = filled.where(F.col("_side") == 1)
     if how == "inner":
-        out = out.where(F.col(marker).isNotNull())
-    return out.select(*left_cols, *payload)
+        out = out.where(F.col("_pack").isNotNull())
+    return out.select(*left_cols,
+                      *[F.col(f"_pack.{p}").alias(p) for p in payload])

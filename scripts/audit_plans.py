@@ -62,6 +62,8 @@ AUDIT = {
     # salted skew join: dimension replicated via Generate (explode),
     # fact side salted — the join key is (event_type, _salt)
     "q48_salted_skew_join": ["Generate"],
+    "q49_quality_quantile_cut": ["Window"],
+    "q50_domain_cap": ["Window"],
 }
 
 # patterns that must NOT appear (scale-killers)

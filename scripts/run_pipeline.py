@@ -33,6 +33,13 @@ def main() -> int:
                     help="logical commit partitions for --checkpoint")
     ap.add_argument("--wave-size", type=int, default=4,
                     help="partitions per scan wave for --checkpoint")
+    ap.add_argument("--sample", default=None, metavar="LANG=RATE,...",
+                    help="deterministic stratified down-sample by lang "
+                         "before the pipeline, e.g. en=0.25,fr=0.1 "
+                         "(md5(url)-bucketed: resume-stable)")
+    ap.add_argument("--dedup", action="store_true",
+                    help="corpus dedup (exact md5 + banded-MinHash near "
+                         "dups, keep-first by url) before the pipeline")
     args = ap.parse_args()
 
     from pii_extract_base_spark.config import get_spark
@@ -44,6 +51,17 @@ def main() -> int:
     pages = synth_pages(spark, args.sf_dir)
     if args.limit is not None:
         pages = pages.limit(args.limit)
+
+    # curation stages (both deterministic -> identical on resume/retry)
+    if args.sample:
+        from pii_extract_base_spark.functions.sampling import (
+            stratified_sample)
+        rates = {k: float(v) for k, v in
+                 (kv.split("=", 1) for kv in args.sample.split(","))}
+        pages = stratified_sample(pages, "lang", "url", rates)
+    if args.dedup:
+        from pii_extract_base_spark.operators.dedup import dedup_corpus
+        pages = dedup_corpus(pages, text_col="text", id_col="url")
 
     pipe = QualityPipeline(tuple(args.languages.split(",")))
 

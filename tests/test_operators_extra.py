@@ -661,3 +661,45 @@ def test_salted_join_equivalence(spark):
 
     with pytest.raises(ValueError):
         salted_join(big, small, "k", "rid", how="full")
+
+
+def test_asof_join_null_payload(spark):
+    """A right row whose payload is NULL still wins the as-of match —
+    the fill must not fall through to an older right row."""
+    from pii_extract_base_spark.operators.asof import asof_join
+    left = spark.createDataFrame([(1, 30)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, None)], "k long, t long, v string")
+    rows = asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                     right_cols=["v"], how="left").collect()
+    assert len(rows) == 1 and rows[0].v_asof is None
+    # and the row still counts as MATCHED for inner semantics
+    assert asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                     right_cols=["v"], how="inner").count() == 1
+
+
+def test_quantile_cut_and_per_key_cap(spark):
+    """Curation windows: top-frac per stratum is deterministic (ties
+    broken by key), per-key cap keeps exactly min(cap, n) rows."""
+    from pii_extract_base_spark.functions.sampling import (
+        per_key_cap, quantile_cut)
+    df = spark.createDataFrame(
+        [(i, "a" if i < 10 else "b", float(i % 7)) for i in range(15)],
+        "id long, g string, score double")
+    top = quantile_cut(df, "g", "score", 0.5, "id")
+    # percent_rank <= 0.5 keeps the better-scored half (+ ties cohort)
+    by_g = {}
+    for r in top.collect():
+        by_g.setdefault(r.g, []).append(r.score)
+    assert min(by_g["a"]) >= 2.0 and len(by_g["a"]) <= 7
+    # ascending=True flips the direction
+    low = quantile_cut(df.where("g = 'a'"), "g", "score", 0.3, "id",
+                       ascending=True)
+    assert all(r.score <= 2.0 for r in low.collect())
+    capped = per_key_cap(df, "g", 3, "id")
+    assert capped.groupBy("g").count().rdd.map(
+        lambda r: r["count"]).collect() == [3, 3]
+    with pytest.raises(ValueError):
+        quantile_cut(df, "g", "score", 0.0, "id")
+    with pytest.raises(ValueError):
+        per_key_cap(df, "g", 0, "id")
