@@ -352,8 +352,13 @@ def inverted_index_jaccard(df: DataFrame, text_col: str = "text",
     join is too wide; use this when exactness over discriminative
     shingles matters (eval sets, legal dedup).
     """
+    # the explicit isnotnull matches the null-filter the join pushes
+    # into its two branches, so all FOUR consumers of the capped
+    # postings (join a/b sides, both size lookups) are byte-identical
+    # subtrees and ReuseExchange materializes the explode+window ONCE
     post = (df.select(F.col(id_col),
-                      F.explode(shingles(text_col, k)).alias("sh")))
+                      F.explode(shingles(text_col, k)).alias("sh"))
+              .where(F.col("sh").isNotNull()))
     post = _cap_buckets(post, ["sh"], max_df)
     sizes = post.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
