@@ -1,0 +1,87 @@
+"""Property-based parity: each custom operator vs a naive in-Python
+reference implementation on randomized small inputs (seeded, bounded
+example counts — every example runs a real Spark job).
+
+The naive references ARE the semantics the operators claim:
+ - asof_join: per-left-row argmax over right rows with ts <= left ts
+ - range_join: the full inequality cross-filter
+ - stratified_sample: per-row md5-bucket rule
+"""
+
+import hashlib
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:          # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+SETTINGS = dict(max_examples=12, deadline=None, derandomize=True,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+keys = st.integers(min_value=0, max_value=3)
+ts = st.integers(min_value=0, max_value=50)
+
+
+@given(left=st.lists(st.tuples(keys, ts), min_size=1, max_size=12),
+       right=st.lists(st.tuples(keys, ts, st.integers(0, 99)),
+                      min_size=0, max_size=12))
+@settings(**SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    from pii_extract_base_spark.operators.asof import asof_join
+    # dedup right per (k, ts): the documented determinism precondition
+    rmap = {(k, t): v for k, t, v in right}
+    right = [(k, t, v) for (k, t), v in rmap.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        "rid long, k long, t long")
+    rdf = spark.createDataFrame(right + [(-99, -99, -99)],
+                                "k long, t long, v long"
+                                ).where("k >= 0")
+    got = {r.rid: r.v_asof for r in
+           asof_join(ldf, rdf, by="k", left_ts="t", right_ts="t",
+                     right_cols=["v"], how="left").collect()}
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t)
+
+
+@given(pts=st.lists(st.integers(-5, 60), min_size=1, max_size=15),
+       rng=st.lists(st.tuples(st.integers(-5, 50), st.integers(0, 20)),
+                    min_size=1, max_size=8),
+       chunk=st.sampled_from([1.0, 3.0, 7.5, 100.0]))
+@settings(**SETTINGS)
+def test_range_join_matches_naive(spark, pts, rng, chunk):
+    from pii_extract_base_spark.operators.rangejoin import range_join
+    ranges = [(i, float(lo), float(lo + span))
+              for i, (lo, span) in enumerate(rng)]
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(pts)], "pid long, x double")
+    rdf = spark.createDataFrame(ranges, "rid long, lo double, hi double")
+    got = {(r.pid, r.rid) for r in
+           range_join(pdf, rdf, "x", "lo", "hi", chunk).collect()}
+    want = {(i, rid)
+            for i, p in enumerate(pts)
+            for rid, lo, hi in ranges if lo <= p < hi}
+    assert got == want
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=30,
+                    unique=True),
+       rate=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]))
+@settings(**SETTINGS)
+def test_stratified_sample_matches_naive(spark, ids, rate):
+    from pii_extract_base_spark.functions.sampling import (
+        BUCKETS, stratified_sample)
+    df = spark.createDataFrame([(i, "s") for i in ids],
+                               "id long, g string")
+    got = {r.id for r in
+           stratified_sample(df, "g", "id", {"s": rate}).collect()}
+    thr = int(round(rate * BUCKETS))
+    want = {i for i in ids
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+            % BUCKETS < thr}
+    assert got == want
