@@ -31,7 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # paying tens of GB of fresh-heap page-zeroing per JVM (-Xms pins it).
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 MULTIPLIER = int(os.environ.get("BENCH_MULTIPLIER", "64"))
-N_TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+N_TRIALS = int(os.environ.get("BENCH_TRIALS", "5"))
 
 # representative per-operator queries (subset of __spark_entry__.queries())
 BENCH_QUERIES = [

@@ -64,9 +64,13 @@ def quantile_cut(df: DataFrame, strata_col: str, score_col: str,
     One shuffle on the stratum column. Skewed strata (one language
     owning most of the corpus) should pre-pass salted_repartition or
     rely on AQE; the window itself cannot salt (rank is global per
-    stratum by definition) — at 1e12 docs use the sketch quantile
-    (approx_percentile on the score) as the threshold instead and
-    filter, trading exactness for a salt-free plan.
+    stratum by definition) — at 1e12 docs use ``exact=False``, which
+    replaces the rank window with a per-stratum approx_percentile
+    sketch threshold: a map-side-combined aggregate (bytes per
+    stratum, immune to stratum skew) broadcast back as a filter. The
+    cut then lands within the sketch's rank error of keep_frac rather
+    than exactly on it, and score TIES at the threshold are all kept
+    (no tiebreak ordering exists without the window).
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")
@@ -77,6 +81,26 @@ def quantile_cut(df: DataFrame, strata_col: str, score_col: str,
     return (df.withColumn("_pr", F.percent_rank().over(w))
               .where(F.col("_pr") <= F.lit(keep_frac))
               .drop("_pr"))
+
+
+def quantile_cut_approx(df: DataFrame, strata_col: str, score_col: str,
+                        keep_frac: float, ascending: bool = False,
+                        accuracy: int = 10_000) -> DataFrame:
+    """Sketch-threshold rendering of quantile_cut for skew-proof scale
+    (see quantile_cut docstring). Deterministic: Spark's
+    approx_percentile sketch (Greenwald-Khanna) is a deterministic
+    function of the input multiset at fixed accuracy."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")
+    q = keep_frac if ascending else 1.0 - keep_frac
+    thr = (df.groupBy(strata_col)
+             .agg(F.percentile_approx(score_col, q, accuracy)
+                  .alias("_thr")))
+    keep = (F.col(score_col) <= F.col("_thr") if ascending
+            else F.col(score_col) >= F.col("_thr"))
+    return (df.join(F.broadcast(thr), strata_col)
+              .where(keep)
+              .drop("_thr"))
 
 
 def per_key_cap(df: DataFrame, key_col: str, cap: int,

@@ -703,3 +703,23 @@ def test_quantile_cut_and_per_key_cap(spark):
         quantile_cut(df, "g", "score", 0.0, "id")
     with pytest.raises(ValueError):
         per_key_cap(df, "g", 0, "id")
+
+
+def test_quantile_cut_approx_tracks_exact(spark):
+    """The sketch-threshold cut keeps a fraction close to keep_frac
+    and contains every exact-cut survivor whose score clears the
+    threshold; at accuracy=n it matches the exact cut's score floor."""
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut, quantile_cut_approx)
+    n = 400
+    df = spark.range(n).selectExpr(
+        "id", "'g' AS g", "cast(pmod(id * 37, 401) as double) AS score")
+    approx = quantile_cut_approx(df, "g", "score", 0.3, accuracy=n)
+    exact = quantile_cut(df, "g", "score", 0.3, "id")
+    n_a, n_e = approx.count(), exact.count()
+    assert abs(n_a - n) / n < 1.0 and abs(n_a - 0.3 * n) <= 0.05 * n
+    # exact keeps the top 30% + tie cohort; at full accuracy the
+    # sketch threshold sits at the same score boundary
+    assert abs(n_a - n_e) <= 0.02 * n
+    min_kept = min(r.score for r in approx.collect())
+    assert all(r.score >= min_kept for r in exact.collect())
