@@ -658,6 +658,21 @@ def q50_domain_cap(spark, sf_dir):
             .select("doc_id", "source", "pick"))
 
 
+def q51_image_thumbnails(spark, sf_dir):
+    """Multimodal resize stage: blobs → 8×8 grayscale thumbnails via
+    bytes-capped mapInPandas (deterministic fake decode — rows-only;
+    the real path is pixel-tested in pytest)."""
+    from pii_extract_base_spark.operators.multimodal import image_resize
+    from pii_extract_base_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, sf_dir)
+    t = image_resize(pages, blob_col="html", url_col="url",
+                     out_h=8, out_w=8)
+    return t.select("url", "src_height", "src_width",
+                    F.size("thumb").alias("n_rows"),
+                    F.size(F.col("thumb")[0]).alias("n_cols"),
+                    F.col("thumb")[0][0].alias("px00"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -727,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_salted_skew_join": q48_salted_skew_join,
         "q49_quality_quantile_cut": q49_quality_quantile_cut,
         "q50_domain_cap": q50_domain_cap,
+        "q51_image_thumbnails": q51_image_thumbnails,
     }
 
 
@@ -1350,6 +1366,6 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 30
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
-        # pipeline stages), q24 (langid model), q26/q29 (multimodal
+        # pipeline stages), q24 (langid model), q26/q29/q51 (multimodal
         # mapInPandas), q28 (HLL/quantile sketches).
     }

@@ -41,6 +41,10 @@ VIDEO_FRAMES_SCHEMA = (
     "url string, frame_idx int, ts_ms long, n_bytes long, "
     "mean_intensity double, features array<float>")
 
+IMAGE_RESIZE_SCHEMA = (
+    "url string, src_height int, src_width int, "
+    "thumb array<array<int>>")
+
 MAX_BATCH_BYTES = 64 << 20
 
 
@@ -310,6 +314,76 @@ def image_features(df, blob_col: str = "html", url_col: str = "url",
 
     return (df.select(url_col, blob_col)
               .mapInPandas(gen, schema=IMAGE_FEATURES_SCHEMA))
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (H, W[, C]) uint8 array — pure
+    numpy index mapping (the half-pixel-center convention PIL's
+    NEAREST uses), no codec libs."""
+    import numpy as np
+    h, w = img.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                      .astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                      .astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
+def _fake_gray_image(data: bytes):
+    """Deterministic stand-in decode: bytes laid out row-major into
+    the smallest square that holds them (zero-padded) — gives the
+    resize plumbing a real (H, W) array for any blob."""
+    import math
+
+    import numpy as np
+    data = data or b"\x00"
+    side = max(1, math.isqrt(len(data) - 1) + 1)
+    buf = np.zeros(side * side, dtype=np.uint8)
+    buf[:len(data)] = np.frombuffer(data, dtype=np.uint8)
+    return buf.reshape((side, side))
+
+
+def image_resize(df, blob_col: str = "html", url_col: str = "url",
+                 out_h: int = 32, out_w: int = 32,
+                 decode: str = "fake",
+                 max_batch_bytes: int = MAX_BATCH_BYTES):
+    """binary blobs → fixed-size grayscale thumbnails (the resize step
+    of a multimodal ingest: normalize every image to a model's input
+    resolution). mapInPandas with bytes-capped batches like
+    image_features; output rows are out_h×out_w uint8 grids (small and
+    schema-stable regardless of source size).
+
+    decode="real" uses decode_image (PPM/PGM/BMP/8-bit PNG; RGB
+    averaged to grayscale); decode="fake" uses the deterministic
+    square layout — same plumbing, no codec."""
+    import numpy as np
+    import pandas as pd
+
+    def to_gray(data: bytes):
+        if decode == "real":
+            img = decode_image(data)
+            if img.ndim == 3:
+                img = (img[:, :, :3].mean(axis=2)
+                       .round().astype(np.uint8))
+            return img
+        return _fake_gray_image(data)
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            for chunk in _rechunk_by_bytes(pdf, blob_col, max_batch_bytes):
+                urls, hs, ws, thumbs = [], [], [], []
+                for url, blob in zip(chunk[url_col], chunk[blob_col]):
+                    img = to_gray(blob or b"")
+                    urls.append(url)
+                    hs.append(int(img.shape[0]))
+                    ws.append(int(img.shape[1]))
+                    thumbs.append(
+                        resize_nearest(img, out_h, out_w).tolist())
+                yield pd.DataFrame({"url": urls, "src_height": hs,
+                                    "src_width": ws, "thumb": thumbs})
+
+    return (df.select(url_col, blob_col)
+              .mapInPandas(gen, schema=IMAGE_RESIZE_SCHEMA))
 
 
 def audio_frame_sample(df, blob_col: str = "html", url_col: str = "url",

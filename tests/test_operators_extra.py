@@ -723,3 +723,37 @@ def test_quantile_cut_approx_tracks_exact(spark):
     assert abs(n_a - n_e) <= 0.02 * n
     min_kept = min(r.score for r in approx.collect())
     assert all(r.score >= min_kept for r in exact.collect())
+
+
+def test_image_resize_real_and_fake(spark):
+    """Resize: identity resize reproduces the source grayscale
+    exactly (real PPM path); downscale picks the half-pixel-center
+    nearest sample (checked vs a hand numpy reference); fake path is
+    deterministic with a stable schema."""
+    import numpy as np
+    from pii_extract_base_spark.operators.multimodal import (
+        decode_image, image_resize, resize_nearest)
+    ppm = _make_ppm(16, 12)
+    gray = (decode_image(ppm)[:, :, :3].mean(axis=2)
+            .round().astype(np.uint8))
+
+    df = spark.createDataFrame([("img://a", bytearray(ppm))],
+                               "url string, html binary")
+    ident = image_resize(df, out_h=12, out_w=16,
+                         decode="real").collect()[0]
+    assert (ident.src_height, ident.src_width) == (12, 16)
+    assert np.array_equal(np.array(ident.thumb, dtype=np.uint8), gray)
+
+    small = image_resize(df, out_h=4, out_w=4, decode="real").collect()[0]
+    rows = ((np.arange(4) + 0.5) * 12 / 4).astype(int)
+    cols = ((np.arange(4) + 0.5) * 16 / 4).astype(int)
+    assert np.array_equal(np.array(small.thumb), gray[rows][:, cols])
+    # library-free resize helper agrees with itself on 3-channel input
+    assert resize_nearest(decode_image(ppm), 4, 4).shape == (4, 4, 3)
+
+    blob = bytes(range(200))
+    fdf = spark.createDataFrame([("b://x", bytearray(blob))] * 2,
+                                "url string, html binary")
+    f1, f2 = image_resize(fdf, out_h=8, out_w=8).collect()
+    assert f1.thumb == f2.thumb and len(f1.thumb) == 8
+    assert f1.src_height == f1.src_width == 15   # ceil(sqrt(200))
