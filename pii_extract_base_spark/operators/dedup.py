@@ -149,8 +149,20 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 5) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs (LSH verify step)."""
-    sh = df.select(F.col(id_col), shingles(text_col, k).alias("sh"))
+    """Exact shingle-Jaccard for candidate pairs (LSH verify step).
+
+    Shingling is the expensive expression, so it is computed only for
+    docs that appear in a candidate pair: a semi-join prune BEFORE the
+    shingles projection. Candidates are a ~1e-5 fraction of a deduped
+    web corpus — without the prune this step would re-shingle the
+    ENTIRE corpus twice (once per join side), which at 1e12 docs costs
+    more than the signature pass it is verifying.
+    """
+    cand_ids = (pairs.select(F.col("id_a").alias(id_col))
+                     .union(pairs.select(F.col("id_b").alias(id_col)))
+                     .distinct())
+    sh = (df.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col), shingles(text_col, k).alias("sh")))
     out = (pairs
            .join(sh.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("sh", "sh_a"), "id_a")
