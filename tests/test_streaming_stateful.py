@@ -167,3 +167,36 @@ def test_session_rows_identical_across_renderings(spark, tmp_path):
         time.sleep(1)
     q2.stop()
     assert got2 == expected_custom
+
+
+def test_streaming_stratified_sample_parity(spark, tmp_path):
+    """The md5-bucket sample is stateless and deterministic, so the
+    SAME rows survive in batch and in Structured Streaming — the
+    property that makes it safe inside a resumable streaming ingest
+    (a rand() sample would pick different rows per micro-batch
+    replay)."""
+    from pii_extract_base_spark.functions.sampling import (
+        stratified_sample)
+    src = tmp_path / "docs"
+    df = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "case when id % 3 = 0 then 'en' when id % 3 = 1 then 'es' "
+        "else 'fr' end AS lang")
+    df.repartition(4).write.parquet(str(src))
+
+    rates = {"en": 0.3, "fr": 0.7}
+    stored = spark.read.parquet(str(src))
+    batch_ids = {r.doc_id for r in
+                 stratified_sample(stored, "lang", "doc_id",
+                                   rates).collect()}
+
+    stream = (spark.readStream.schema("doc_id long, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stratified_sample(stream, "lang", "doc_id", rates)
+         .writeStream.format("memory").queryName("samp_t")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+    stream_ids = {r.doc_id for r in
+                  spark.sql("select doc_id from samp_t").collect()}
+    assert stream_ids == batch_ids and len(batch_ids) > 0
