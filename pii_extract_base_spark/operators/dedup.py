@@ -258,20 +258,28 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 5, num_perm: int = 8,
                  band_size: int = 2, jaccard_threshold: float = 0.8,
                  family: str = "md5slice",
-                 max_bucket: int = 500) -> DataFrame:
+                 max_bucket: int = 500, near: str = "lsh") -> DataFrame:
     """End-to-end corpus dedup: EXACT duplicates (md5 fingerprint) plus
-    NEAR duplicates (banded-minhash candidates verified by shingle
-    Jaccard >= threshold) are dropped keep-first (a doc is dropped iff
-    a duplicate with a SMALLER id exists — greedy by id, not transitive
-    closure, so the rule is order-independent and replayable in plain
-    SQL). Returns the surviving rows of ``df``.
+    NEAR duplicates (Jaccard >= threshold) are dropped keep-first (a
+    doc is dropped iff a duplicate with a SMALLER id exists — greedy
+    by id, not transitive closure, so the rule is order-independent
+    and replayable in plain SQL). Returns the surviving rows of ``df``.
+
+    Near-dup backends (``near``):
+     - "lsh" (default): banded-MinHash candidates verified by exact
+       shingle Jaccard — the widest-scale path (signatures shuffle,
+       candidate docs only are re-shingled). Probabilistic recall
+       (banding can miss a pair).
+     - "exact": capped-inverted-index Jaccard (inverted_index_jaccard)
+       — no banding false negatives; costs one posting self-join.
+     - "none": exact-duplicate pass only.
 
     Plan shape at scale: one narrow anti-join per dup source — the
-    exact pass shuffles (id, fp), the near pass shuffles signatures and
-    joins shingle arrays only for LSH candidate pairs. LSH buckets over
-    ``max_bucket`` are dropped before pair generation; byte-identical
-    boilerplate (the usual cause of an oversized bucket) is still
-    removed by the exact pass, which never caps.
+    exact pass shuffles (id, fp); the LSH pass shuffles signatures and
+    shingles only candidate docs (semi-join prune). LSH buckets /
+    postings over ``max_bucket`` are dropped before pair generation;
+    byte-identical boilerplate (the usual cause of an oversized
+    bucket) is still removed by the exact pass, which never caps.
     """
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     ids = df.select(F.col(id_col), fp.alias("_fp"))
@@ -283,14 +291,25 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
                        .where(F.col(id_col) != F.col("_keep"))
                        .select(id_col))
 
-    cand = lsh_candidate_pairs(df, text_col, id_col, k, num_perm,
-                               band_size, family, max_bucket)
-    near_losers = (ngram_jaccard_pairs(df, cand, text_col, id_col, k)
-                   .where(F.col("jaccard") >= jaccard_threshold)
-                   .select(F.col("id_b").alias(id_col)))
+    if near == "lsh":
+        cand = lsh_candidate_pairs(df, text_col, id_col, k, num_perm,
+                                   band_size, family, max_bucket)
+        near_pairs = (ngram_jaccard_pairs(df, cand, text_col, id_col, k)
+                      .where(F.col("jaccard") >= jaccard_threshold))
+    elif near == "exact":
+        near_pairs = inverted_index_jaccard(
+            df, text_col, id_col, k, threshold=jaccard_threshold,
+            max_df=max_bucket)
+    elif near == "none":
+        near_pairs = None
+    else:
+        raise ValueError(f"unknown near backend: {near!r}")
 
-    losers = exact_losers.union(near_losers).distinct()
-    return df.join(losers, id_col, "left_anti")
+    losers = exact_losers
+    if near_pairs is not None:
+        losers = losers.union(
+            near_pairs.select(F.col("id_b").alias(id_col)))
+    return df.join(losers.distinct(), id_col, "left_anti")
 
 
 def simhash_col(text_col: str = "text", bits: int = 64,

@@ -757,3 +757,27 @@ def test_image_resize_real_and_fake(spark):
     f1, f2 = image_resize(fdf, out_h=8, out_w=8).collect()
     assert f1.thumb == f2.thumb and len(f1.thumb) == 8
     assert f1.src_height == f1.src_width == 15   # ceil(sqrt(200))
+
+
+def test_dedup_corpus_backends_agree(spark):
+    """On a corpus whose near-dups all share full MinHash bands, the
+    lsh and exact backends keep the same survivors; 'none' keeps
+    near-dups and only drops byte-identical copies."""
+    from pii_extract_base_spark.operators.dedup import dedup_corpus
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(40)) + " tail"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),            # exact pair -> drop 2
+         (3, near),                       # near-dup of 1 -> drop 3
+         (4, "totally different words here entirely unrelated doc")],
+        "doc_id long, text string")
+    for near_mode in ("lsh", "exact"):
+        kept = {r.doc_id for r in
+                dedup_corpus(docs, jaccard_threshold=0.5,
+                             near=near_mode).collect()}
+        assert kept == {1, 4}, near_mode
+    kept_none = {r.doc_id for r in
+                 dedup_corpus(docs, near="none").collect()}
+    assert kept_none == {1, 3, 4}
+    with pytest.raises(ValueError):
+        dedup_corpus(docs, near="bogus")
