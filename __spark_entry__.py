@@ -673,6 +673,18 @@ def q51_image_thumbnails(spark, sf_dir):
                     F.col("thumb")[0][0].alias("px00"))
 
 
+def q52_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing ANY 5-gram shingle with
+    the 'eval set' (every 97th doc — a deterministic stand-in for a
+    leaked benchmark) are dropped. Zero corpus shuffles: the eval
+    shingle set broadcasts and only contaminated ids anti-join."""
+    from pii_extract_base_spark.operators.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return (decontaminate(docs, ev, k=5, max_overlap=0)
+            .select("doc_id", "lang"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -743,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_quality_quantile_cut": q49_quality_quantile_cut,
         "q50_domain_cap": q50_domain_cap,
         "q51_image_thumbnails": q51_image_thumbnails,
+        "q52_decontaminate": q52_decontaminate,
     }
 
 
@@ -1364,6 +1377,20 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(doc_id::VARCHAR) ASC) AS rn
                 FROM documents
             ) WHERE rn <= 30
+        """,
+        "q52_decontaminate": f"""
+            WITH ev AS (
+                SELECT DISTINCT unnest({shingles5}) AS sh
+                FROM documents WHERE doc_id % 97 = 0
+            ),
+            contaminated AS (
+                SELECT DISTINCT d.doc_id
+                FROM (SELECT doc_id, unnest({shingles5}) AS sh
+                      FROM documents) d
+                JOIN ev USING (sh)
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29/q51 (multimodal

@@ -312,6 +312,40 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     return df.join(losers.distinct(), id_col, "left_anti")
 
 
+def decontaminate(df: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str = "text", k: int = 13,
+                  max_overlap: int = 0,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares more than ``max_overlap`` distinct k-gram shingles with the
+    evaluation corpus (the GPT-3-style 13-gram collision rule; k and
+    the tolerance are configurable).
+
+    Plan: the eval side reduces to its DISTINCT shingle set — for any
+    real benchmark suite that is a few million short strings, so it
+    broadcasts (``broadcast_eval``) and the check costs ZERO shuffles
+    of the training corpus: explode → broadcast-semi-probe → per-doc
+    collision count → anti-join. With ``broadcast_eval=False`` the
+    probe becomes a shuffle equi-join on the shingle — the fallback
+    when the eval set is itself corpus-sized. Only contaminated doc
+    ids flow into the anti-join either way.
+    """
+    ev = (eval_df.select(F.explode(shingles(eval_text_col, k))
+                         .alias("sh"))
+                 .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (df.select(F.col(id_col),
+                      F.explode(shingles(text_col, k)).alias("sh"))
+              .join(ev, "sh")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("_n_hits"))
+              .where(F.col("_n_hits") > max_overlap)
+              .select(id_col))
+    return df.join(hits, id_col, "left_anti")
+
+
 def simhash_col(text_col: str = "text", bits: int = 64,
                 family: str = "xxhash64") -> F.Column:
     """SimHash over word unigrams in ONE pass: a single `aggregate`

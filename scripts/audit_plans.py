@@ -64,6 +64,9 @@ AUDIT = {
     "q48_salted_skew_join": ["Generate"],
     "q49_quality_quantile_cut": ["Window"],
     "q50_domain_cap": ["Window"],
+    # decontamination: broadcast eval shingle probe + anti-join — the
+    # training corpus itself never shuffles
+    "q52_decontaminate": ["BroadcastHashJoin", "LeftAnti"],
 }
 
 # patterns that must NOT appear (scale-killers)

@@ -781,3 +781,24 @@ def test_dedup_corpus_backends_agree(spark):
     assert kept_none == {1, 3, 4}
     with pytest.raises(ValueError):
         dedup_corpus(docs, near="bogus")
+
+
+def test_decontaminate(spark):
+    """Docs sharing a k-gram with the eval set drop; max_overlap
+    tolerance keeps low-collision docs; broadcast and shuffle paths
+    agree."""
+    from pii_extract_base_spark.operators.dedup import decontaminate
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, leak + " extra words beyond"),        # contains eval 5-grams
+         (2, "completely unrelated content about spark plans here"),
+         (3, "the quick brown fox jumps elsewhere now friends")],
+        "doc_id long, text string")                # doc3: 1 shared 5-gram
+    ev = spark.createDataFrame([(leak,)], "text string")
+    for bc in (True, False):
+        kept = {r.doc_id for r in
+                decontaminate(docs, ev, k=5, broadcast_eval=bc).collect()}
+        assert kept == {2}, bc
+    tol = {r.doc_id for r in
+           decontaminate(docs, ev, k=5, max_overlap=1).collect()}
+    assert tol == {2, 3}        # doc3's single collision now tolerated
