@@ -1316,7 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_stratified_sample": """
             SELECT doc_id, lang, bucket FROM (
                 SELECT doc_id, lang,
-                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                            % 10000 AS bucket
                 FROM documents
             )

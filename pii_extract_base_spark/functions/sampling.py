@@ -7,14 +7,19 @@ resumed partitions (breaking checkpoint idempotency — a re-run of a
 failed partition would keep DIFFERENT rows), and it cannot be replayed
 by an external verifier.
 
-Instead each row's fate is a pure function of its key: a 16-bit slice
-of md5(key) taken modulo 10_000 yields a uniform bucket in [0, 10000);
-the row survives iff bucket < rate·10000. Deterministic, independent
-of partitioning and row order, stable under resume, and replayable in
-any engine with md5 (DuckDB: ('0x' || substr(md5(k), 1, 4))::BIGINT %
-10000). Per-stratum rates compile to ONE native CASE expression — no
-shuffle, no UDF; the filter runs inside the scan's codegen stage and
-combines with predicate pushdown on the stratum column.
+Instead each row's fate is a pure function of its key: a 32-bit slice
+of md5(key) taken modulo 10_000 yields a near-uniform bucket in
+[0, 10000) — 32 bits, not 16: 2^16 % 10000 = 5536 leaves low buckets
+with 7/65536 mass vs 6/65536, a +6.8% relative bias on every rate
+<= 0.5536; at 32 bits the residual bias is 1 part in ~4.3e5. The row
+survives iff bucket < rate·10000. Deterministic, independent of
+partitioning and row order, stable under resume, and replayable in
+any engine with md5 (DuckDB: ('0x' || substr(md5(k), 1, 8))::BIGINT %
+10000). NULL keys hash via coalesce-to-'' — all NULL-key rows share
+one fixed bucket rather than being silently dropped. Per-stratum
+rates compile to ONE native CASE expression — no shuffle, no UDF; the
+filter runs inside the scan's codegen stage and combines with
+predicate pushdown on the stratum column.
 """
 
 from typing import Dict, Optional
@@ -25,9 +30,11 @@ BUCKETS = 10_000
 
 
 def hash_bucket(key_col: str) -> Column:
-    """Uniform deterministic bucket in [0, 10000) from md5(key)."""
-    h = F.md5(F.col(key_col).cast("string"))
-    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % BUCKETS
+    """Near-uniform deterministic bucket in [0, 10000) from a 32-bit
+    md5(key) slice (see module docstring for the bias arithmetic).
+    NULL keys coalesce to '' — one shared, deterministic bucket."""
+    h = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
 
 
 def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
@@ -64,13 +71,16 @@ def quantile_cut(df: DataFrame, strata_col: str, score_col: str,
     One shuffle on the stratum column. Skewed strata (one language
     owning most of the corpus) should pre-pass salted_repartition or
     rely on AQE; the window itself cannot salt (rank is global per
-    stratum by definition) — at 1e12 docs use ``exact=False``, which
-    replaces the rank window with a per-stratum approx_percentile
+    stratum by definition) — at 1e12 docs use ``quantile_cut_approx``,
+    which replaces the rank window with a per-stratum approx_percentile
     sketch threshold: a map-side-combined aggregate (bytes per
     stratum, immune to stratum skew) broadcast back as a filter. The
     cut then lands within the sketch's rank error of keep_frac rather
-    than exactly on it, and score TIES at the threshold are all kept
-    (no tiebreak ordering exists without the window).
+    than exactly on it, score TIES at the threshold are all kept (no
+    tiebreak ordering exists without the window), and NULL strata are
+    DROPPED by its inner join (here they form their own window
+    partition and are kept per keep_frac) — filter NULL strata first
+    if the two renderings must agree.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")

@@ -52,7 +52,10 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
     r_types = dict(zip(right.columns, [f.dataType for f in right.schema]))
 
     left_cols = list(left.columns)
-    r = right.select(
+    # a right row with a NULL timestamp can match nothing ("ts <= left
+    # ts" is never satisfied) — but it would sort NULLS FIRST into the
+    # fill window and pollute every left row after it, so drop it here
+    r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(by),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),

@@ -424,7 +424,8 @@ def inverted_index_jaccard(df: DataFrame, text_col: str = "text",
     post = (df.select(F.col(id_col),
                       F.explode(shingles(text_col, k)).alias("sh"))
               .where(F.col("sh").isNotNull()))
-    post = _cap_buckets(post, ["sh"], max_df)
+    if max_df is not None:       # None disables the cap (eval corpora)
+        post = _cap_buckets(post, ["sh"], max_df)
     sizes = post.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     a, b = post.alias("a"), post.alias("b")

@@ -363,8 +363,12 @@ def image_resize(df, blob_col: str = "html", url_col: str = "url",
         if decode == "real":
             img = decode_image(data)
             if img.ndim == 3:
-                img = (img[:, :, :3].mean(axis=2)
-                       .round().astype(np.uint8))
+                # 2-channel = gray+alpha (PNG color type 4): average
+                # only the gray plane, never alpha (same guard as
+                # _real_image_features)
+                color = (img[:, :, :3] if img.shape[2] >= 3
+                         else img[:, :, :1])
+                img = color.mean(axis=2).round().astype(np.uint8)
             return img
         return _fake_gray_image(data)
 

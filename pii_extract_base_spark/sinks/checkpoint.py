@@ -92,9 +92,18 @@ class CheckpointedSink:
     def _append_manifest(self, entry: Dict) -> None:
         """O(1) append: one JSON line + flush + fsync (round 2 rewrote
         the WHOLE manifest per commit — O(N²) lines over N partitions).
-        Crash atomicity is line-level (see manifest_entries)."""
-        with open(self._manifest_path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(entry) + "\n")
+        Crash atomicity is line-level (see manifest_entries); if a
+        prior crash left a torn tail WITHOUT its newline, heal it
+        first so this commit's line never concatenates onto the
+        fragment (which would make BOTH unparseable and silently lose
+        this commit on resume)."""
+        with open(self._manifest_path, "a+b") as f:
+            f.seek(0, os.SEEK_END)
+            if f.tell() > 0:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+            f.write(json.dumps(entry).encode("utf-8") + b"\n")
             f.flush()
             os.fsync(f.fileno())
 

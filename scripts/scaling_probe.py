@@ -53,7 +53,10 @@ def main():
               f"t{sb.N4_CORES}={r_hi['sec']} eff={eff:.3f} "
               f"eff_corr={eff_c:.3f}", file=sys.stderr)
 
-    med = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]
+    # LOWER median: for even pair counts the upper-middle element
+    # would overstate the headline (it is an upper bound, not a
+    # median) — report the conservative middle instead
+    med = sorted(pairs, key=lambda p: p["eff"])[(len(pairs) - 1) // 2]
     docs = pairs[0]["docs"]
     lines = "\n".join(
         f"| {i} | {p['t_lo']:.1f} | {p['t_hi']:.1f} | {p['eff']:.3f} "
@@ -73,8 +76,9 @@ folded in — the 1->4 headline remains the clean engine read.
 |---|---|---|---|---|---|
 {lines}
 
-Median {sb.N_CORES}->{sb.N4_CORES} efficiency: **{med['eff']:.3f}**
-(steal-corrected {med['eff_corr']:.3f}).
+Lower-median {sb.N_CORES}->{sb.N4_CORES} efficiency: **{med['eff']:.3f}**
+(steal-corrected {med['eff_corr']:.3f}; with an even pair count this
+is the conservative middle element, not an average).
 """
     with open(REPO / "BENCH.md", "a", encoding="utf-8") as f:
         f.write(section)

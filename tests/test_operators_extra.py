@@ -802,3 +802,86 @@ def test_decontaminate(spark):
     tol = {r.doc_id for r in
            decontaminate(docs, ev, k=5, max_overlap=1).collect()}
     assert tol == {2, 3}        # doc3's single collision now tolerated
+
+
+def _make_png_gray_alpha(w, h, alpha=255):
+    """Minimal 8-bit gray+alpha (color type 4) PNG, filter 0 rows."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        c = tag + payload
+        return (struct.pack(">I", len(payload)) + c
+                + struct.pack(">I", zlib.crc32(c)))
+
+    raw = b"".join(
+        b"\x00" + bytes(v for x in range(w)
+                        for v in ((x * 7 + y * 13) % 256, alpha))
+        for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_image_resize_gray_alpha_excludes_alpha(spark):
+    """Gray+alpha PNG (color type 4): the thumbnail must average only
+    the gray plane — a fully-opaque image's pixels are the gray
+    values, never pulled toward 255 by the alpha channel."""
+    import numpy as np
+    from pii_extract_base_spark.operators.multimodal import (
+        decode_image, image_resize)
+    png = _make_png_gray_alpha(8, 8)
+    gray = decode_image(png)[:, :, 0]
+    df = spark.createDataFrame([("img://ga", bytearray(png))],
+                               "url string, html binary")
+    out = image_resize(df, out_h=8, out_w=8, decode="real").collect()[0]
+    assert np.array_equal(np.array(out.thumb, dtype=np.uint8), gray)
+
+
+def test_review_fix_regressions(spark, tmp_path):
+    """Round-3 review fixes: (a) inverted_index_jaccard with
+    max_df=None disables the cap instead of dropping every posting;
+    (b) a NULL-timestamp right row never pollutes the as-of fill;
+    (c) NULL sampling keys share one bucket and survive rate=1.0;
+    (d) a manifest append after a torn tail heals the missing newline
+    so BOTH commits parse."""
+    import json
+    from pii_extract_base_spark.operators.dedup import (
+        inverted_index_jaccard)
+    from pii_extract_base_spark.operators.asof import asof_join
+    from pii_extract_base_spark.functions.sampling import (
+        stratified_sample)
+    from pii_extract_base_spark.sinks.checkpoint import CheckpointedSink
+
+    base = "alpha bravo charlie delta echo foxtrot"
+    docs = spark.createDataFrame([(1, base), (2, base)],
+                                 "doc_id long, text string")
+    uncapped = inverted_index_jaccard(docs, k=5, threshold=0.5,
+                                      max_df=None)
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {(1, 2)}
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, None, "bad")],
+                                  "k long, t long, v string")
+    got = asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                    right_cols=["v"], how="left").collect()[0]
+    assert got.v_asof is None
+    assert asof_join(left, right, by="k", left_ts="t", right_ts="t",
+                     right_cols=["v"], how="inner").count() == 0
+
+    df = spark.createDataFrame([("a", "en"), (None, "en")],
+                               "k string, lang string")
+    kept = stratified_sample(df, "lang", "k", {"en": 1.0})
+    assert kept.count() == 2            # NULL key survives rate 1.0
+
+    sink = CheckpointedSink(str(tmp_path / "tbl"), n_partitions=2)
+    sink._append_manifest({"partition_id": 0, "ok": True})
+    with open(sink._manifest_path, "a") as f:
+        f.write('{"partition_id": 1, "torn')     # crash mid-append
+    sink._append_manifest({"partition_id": 2, "ok": True})
+    parsed = sink.manifest_entries()
+    assert [e["partition_id"] for e in parsed] == [0, 2]
+    raw = open(sink._manifest_path).read()
+    assert '{"torn' not in json.dumps(parsed)
+    assert raw.count("\n") == 3         # torn line got its newline

@@ -82,6 +82,6 @@ def test_stratified_sample_matches_naive(spark, ids, rate):
            stratified_sample(df, "g", "id", {"s": rate}).collect()}
     thr = int(round(rate * BUCKETS))
     want = {i for i in ids
-            if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
             % BUCKETS < thr}
     assert got == want
