@@ -685,6 +685,55 @@ def q52_decontaminate(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
+def q53_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS via distributed connected components
+    (large-star/small-star, operators/graph.py): edges are the union
+    of exact-dup pairs (doc ↔ its md5-group representative) and
+    LSH-verified near-dup pairs (Jaccard >= 0.5); cluster id = min doc
+    id of the component. The DuckDB oracle replays the identical edge
+    set and closes it with a recursive CTE — verifying the O(log²n)
+    star-contraction loop against a declarative transitive closure."""
+    from pii_extract_base_spark.operators.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs)
+    from pii_extract_base_spark.operators.graph import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    ids = docs.select("doc_id", fp.alias("_fp"))
+    reps = ids.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
+    exact_pairs = (ids.join(reps, "_fp")
+                      .where(F.col("doc_id") != F.col("_keep"))
+                      .select(F.col("_keep").alias("id_a"),
+                              F.col("doc_id").alias("id_b")))
+    cand = lsh_candidate_pairs(docs, k=5, num_perm=8, band_size=2,
+                               family="md5slice", max_bucket=500)
+    near = (ngram_jaccard_pairs(docs, cand, k=5)
+            .where(F.col("jaccard") >= 0.5).select("id_a", "id_b"))
+    return connected_components(exact_pairs.union(near),
+                                node_col="doc_id", cluster_col="cluster")
+
+
+def q54_repetition_signals(spark, sf_dir):
+    """Gopher repetition signals (top-/duplicate-n-gram fractions for
+    n=2,3) — native explode + stacked hash aggs, no window, no UDF."""
+    from pii_extract_base_spark.functions.quality import repetition_signals
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs).select(
+        "doc_id", "n2", "top2_frac", "dup2_frac",
+        "n3", "top3_frac", "dup3_frac")
+
+
+def q55_kmeans_clusters(spark, sf_dir):
+    """Lloyd k-means (k=4, 2 update rounds, deterministic smallest-id
+    init, centroids rounded to 4 dp each round) over the 64-dim
+    embeddings — the IVF coarse-quantizer trainer. Assignments are
+    integers, so the DuckDB oracle (both Lloyd rounds unrolled as
+    CTEs, identical left-fold distance order) hash-matches exactly."""
+    from pii_extract_base_spark.operators.cluster import kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=4, iters=2, dim=64)
+    return assigned
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -756,7 +805,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_domain_cap": q50_domain_cap,
         "q51_image_thumbnails": q51_image_thumbnails,
         "q52_decontaminate": q52_decontaminate,
+        "q53_dup_clusters": q53_dup_clusters,
+        "q54_repetition_signals": q54_repetition_signals,
+        "q55_kmeans_clusters": q55_kmeans_clusters,
     }
+
+
+_DUCK_WORDS = ("list_filter(string_split_regex(coalesce(text,''), "
+               "'\\s+'), w -> w <> '')")
+
+
+def _rep_cte(n: int) -> str:
+    """DuckDB CTE pair for q54's n-gram repetition signals (ALL n-grams,
+    duplicates kept — mirrors functions.textstats.ngrams)."""
+    grams = (f"(case when len({_DUCK_WORDS}) >= {n} then "
+             f"list_transform(range(len({_DUCK_WORDS}) - {n - 1}), "
+             f"i -> array_to_string({_DUCK_WORDS}[i+1:i+{n}], ' ')) "
+             f"else [] end)")
+    return f"""pg{n} AS (
+                SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, unnest({grams}) AS g FROM documents
+                ) GROUP BY doc_id, g
+            ),
+            s{n} AS (
+                SELECT doc_id, sum(c) AS n{n},
+                       round(max(c)::DOUBLE / sum(c), 6) AS top{n}_frac,
+                       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                             / sum(c), 6) AS dup{n}_frac
+                FROM pg{n} GROUP BY doc_id
+            )"""
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """DuckDB replay of operators.cluster.kmeans: both Lloyd rounds
+    unrolled as CTEs. Distances are the same left-fold double sums the
+    Spark plan evaluates (identical literal centroids after each
+    round-4dp update), so the integer assignments hash-match."""
+    dist = " + ".join(f"(v[{i+1}] - c[{i+1}]) * (v[{i+1}] - c[{i+1}])"
+                      for i in range(dim))
+    avgs = ", ".join(f"round(avg(v[{i+1}]), 4)" for i in range(dim))
+
+    def assign(name, cents):
+        return f"""{name} AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT e.vec_id, {cents}.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY round({dist}, 9), cid)
+                           AS rn
+                FROM e CROSS JOIN {cents}) WHERE rn = 1)"""
+
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings)",
+            f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 "
+            f"AS cid, embedding::DOUBLE[] AS c "
+            f"FROM embeddings ORDER BY vec_id LIMIT {k})"]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        ctes.append(assign(f"a{r}", prev))
+        ctes.append(f"""c{r} AS (
+            SELECT cluster AS cid, [{avgs}] AS c
+            FROM a{r} JOIN e USING (vec_id) GROUP BY cluster)""")
+        prev = f"c{r}"
+    ctes.append(assign("aF", prev))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT vec_id, cluster FROM aF")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1392,6 +1504,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
+        "q53_dup_clusters": f"""
+            WITH RECURSIVE ids AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS fp
+                FROM documents
+            ),
+            exact_pairs AS (
+                SELECT g.keep AS id_a, i.doc_id AS id_b FROM ids i
+                JOIN (SELECT fp, min(doc_id) AS keep FROM ids
+                      GROUP BY fp) g ON i.fp = g.fp
+                WHERE i.doc_id <> g.keep
+            ),
+            sig AS (
+                SELECT doc_id, [{minhash_sig}] AS sig
+                FROM documents WHERE len({shingles5}) > 0
+            ),
+            bands AS (
+                SELECT doc_id, t.b AS band,
+                       sig[2*t.b + 1]::VARCHAR || '#' ||
+                       sig[2*t.b + 2]::VARCHAR AS bkey
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+                QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                        <= {MAX_BUCKET}
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bands x JOIN bands y USING (band, bkey)
+                WHERE x.doc_id < y.doc_id
+            ),
+            sh AS (SELECT doc_id, {shingles5} AS sh FROM documents),
+            near_pairs AS (
+                SELECT id_a, id_b FROM cand
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b
+                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                            / len(list_distinct(a.sh || b.sh)), 6)
+                      >= 0.5
+            ),
+            all_pairs AS (SELECT * FROM exact_pairs
+                          UNION SELECT * FROM near_pairs),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM all_pairs
+                UNION SELECT id_b, id_a FROM all_pairs
+            ),
+            -- transitive closure: min reachable id == component min
+            -- (edges are symmetric); UNION dedups, so it terminates
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            )
+            SELECT u AS doc_id, min(lbl) AS cluster FROM reach GROUP BY u
+        """,
+        "q54_repetition_signals": f"""
+            WITH {_rep_cte(2)},
+                 {_rep_cte(3)}
+            SELECT doc_id, n2, top2_frac, dup2_frac,
+                   n3, top3_frac, dup3_frac
+            FROM s2 JOIN s3 USING (doc_id)
+        """,
+        "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29/q51 (multimodal
         # mapInPandas), q28 (HLL/quantile sketches).

@@ -216,3 +216,53 @@ def rules_duckdb_exprs(text_expr: str = "text",
         "r_alpha": f"({alpha_frac} >= {MIN_ALPHA_WORD_FRAC})",
         "r_stopwords": f"({stop_hits} >= {MIN_STOPWORD_HITS})",
     }
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher §A1.1 "repetitious text" measures)
+
+def repetition_signals(df, text_col: str = "text",
+                       id_col: str = "doc_id", ns=(2, 3)):
+    """Per-document word-n-gram repetition signals (Gopher, Rae et al.
+    2021 §A1.1): for each n in ``ns``,
+
+     - ``top{n}_frac``  — occurrences of the MOST FREQUENT n-gram as a
+       fraction of all n-gram occurrences
+     - ``dup{n}_frac``  — occurrences of n-grams appearing MORE THAN
+       ONCE as a fraction of all occurrences
+     - ``n{n}``         — total n-gram occurrences
+
+    These complement the line-level `r_dup_lines` rule: boilerplate
+    with shuffled line order (keyword-stuffed pages, templated specs)
+    repeats n-grams without repeating lines.
+
+    Plan shape per n: ONE explode of the gram array, then two stacked
+    map-side-combinable hash aggregations — (id, gram) counts, then
+    per-id sums/max. Only exploded gram rows shuffle (never document
+    text), and there is no window. Documents shorter than max(ns)
+    words carry no signal and are dropped by the inner join
+    (quality-rule MIN_WORDS already discards them upstream).
+    """
+    from pyspark.sql import functions as F
+    from .textstats import ngrams
+
+    out = None
+    for n in ns:
+        per_gram = (df.select(F.col(id_col),
+                              F.explode(ngrams(text_col, n)).alias("g"))
+                      .groupBy(id_col, "g")
+                      .agg(F.count("*").alias("c")))
+        sig = (per_gram.groupBy(id_col)
+               .agg(F.sum("c").alias(f"n{n}"),
+                    F.max("c").alias("_top"),
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))
+                           .otherwise(F.lit(0))).alias("_dup"))
+               .select(
+                   id_col,
+                   F.col(f"n{n}"),
+                   F.round(F.col("_top").cast("double") / F.col(f"n{n}"),
+                           6).alias(f"top{n}_frac"),
+                   F.round(F.col("_dup").cast("double") / F.col(f"n{n}"),
+                           6).alias(f"dup{n}_frac")))
+        out = sig if out is None else out.join(sig, id_col)
+    return out

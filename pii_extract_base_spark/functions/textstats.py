@@ -51,6 +51,20 @@ def shingle_count(text_col: str = "text", k: int = 5) -> Column:
     return F.size(shingles(text_col, k))
 
 
+def ngrams(text_col: str = "text", n: int = 2) -> Column:
+    """ALL word n-grams in document order, duplicates KEPT (unlike
+    `shingles`, which is the distinct set) — the input to repetition
+    signals, where multiplicity is the whole point (Gopher's
+    duplicate-n-gram fractions)."""
+    w = words_col(text_col)
+    sz = F.size(w)
+    return F.when(
+        sz >= n,
+        F.transform(F.sequence(F.lit(0), sz - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def rolling_fingerprint(text_col: str = "text",
                         base: int = 131, mod: int = 1_000_000_007,
                         chunk: int = 4096) -> Column:

@@ -1,0 +1,111 @@
+"""Distributed connected components over candidate-pair edges.
+
+Resolves near-duplicate PAIRS (the output of `lsh_candidate_pairs`,
+`inverted_index_jaccard` or `embedding_near_dup_pairs`) into duplicate
+CLUSTERS, each labeled by its minimum member id — the canonical doc a
+cluster-dedup pass keeps. The reference engine has no graph operator;
+this extends the beyond-reference dedup family (SURVEY.md §2).
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", ACM SoCC 2014, public). Converges in O(log² n) rounds on
+ANY graph shape, independent of component diameter. Diameter
+independence is the point at corpus scale: templated page families
+form long CHAINS (A~B~C~… where non-adjacent pages fall below the
+Jaccard threshold), and naive min-label propagation needs O(diameter)
+rounds on those — large-star halves chain height every round instead.
+
+Scale shape: each round is two self-contained groupBy+join passes over
+the EDGE relation only (two narrow long columns) — document payloads
+never enter the loop. Lineage is truncated every round with an eager
+localCheckpoint (on a cluster: `spark.sparkContext.setCheckpointDir` +
+`checkpoint()`), and convergence needs one count + one isEmpty action
+per round — the standard price of an iterative fixed-point (GraphX
+pays the same); the round count is log-bounded, not data-bounded.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its strictly-larger
+    neighbors to m(u) = min(Γ(u) ∪ {u}). Input/output edges are
+    oriented (u > v), distinct, self-loop-free."""
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (both.groupBy("u").agg(F.min("v").alias("_mn"))
+             .select("u", F.least(F.col("_mn"), F.col("u")).alias("m")))
+    return (both.join(m, "u")
+                .where(F.col("v") > F.col("u"))       # larger neighbors
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct())                          # v > u >= m ⇒ u > v
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node u connects its smaller-or-equal
+    neighborhood (and itself) to its minimum. Orientation-preserving."""
+    o = e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))     # m < u always
+    nbr = (o.join(m, "u")
+             .where(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    own = m.select("u", F.col("m").alias("v"))
+    return nbr.union(own).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50,
+                         node_col: str = "node",
+                         cluster_col: str = "cluster") -> DataFrame:
+    """(node, cluster) for every node appearing in ``pairs``; cluster =
+    the minimum node id of its connected component (so a cluster-dedup
+    keeps exactly the rows where node == cluster).
+
+    NULL endpoints are dropped (an unmatched candidate row carries no
+    edge). ``max_iter`` is a log-bound backstop — the algorithm
+    provably converges in O(log² n) rounds; hitting the bound raises
+    rather than returning partially-merged clusters.
+    """
+    e = (pairs.select(F.greatest(F.col(src), F.col(dst)).alias("u"),
+                      F.least(F.col(src), F.col(dst)).alias("v"))
+              .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                     & (F.col("u") != F.col("v")))
+              .distinct()
+              .localCheckpoint())
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # fixed point ⇔ same distinct edge set (both sides distinct,
+        # so equal counts + empty one-way difference suffices)
+        if e2.count() == e.count() and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # fixed point is a star per component: (member, root) with root =
+    # component min; roots themselves appear only on the v side
+    members = e.select(F.col("u").alias(node_col),
+                       F.col("v").alias(cluster_col))
+    roots = (e.select(F.col("v").alias(node_col))
+              .distinct()
+              .join(e.select(F.col("u").alias(node_col)).distinct(),
+                    node_col, "left_anti")
+              .select(node_col, F.col(node_col).alias(cluster_col)))
+    return members.union(roots)
+
+
+def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 keep_col: str = "is_canonical") -> DataFrame:
+    """Join cluster labels back onto the corpus: every doc in a
+    near-dup cluster gets (cluster, is_canonical); docs in no pair are
+    their own singleton cluster. The cluster-dedup rule 'keep one doc
+    per cluster' is then a simple ``where(is_canonical)`` — the
+    transitive-closure alternative to dedup_corpus's greedy-by-id."""
+    cc = connected_components(pairs, node_col=id_col,
+                              cluster_col="cluster")
+    return (df.join(cc, id_col, "left")
+              .select(df["*"],
+                      F.coalesce(F.col("cluster"), F.col(id_col))
+                       .alias("cluster"))
+              .withColumn(keep_col, F.col("cluster") == F.col(id_col)))

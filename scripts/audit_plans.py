@@ -67,6 +67,15 @@ AUDIT = {
     # decontamination: broadcast eval shingle probe + anti-join — the
     # training corpus itself never shuffles
     "q52_decontaminate": ["BroadcastHashJoin", "LeftAnti"],
+    # q53 (connected components) is an iterative fixed-point — its
+    # edge-building subplans are exactly q16/q22's (audited above), and
+    # the star-contraction loop materializes checkpoints by design, so
+    # a static explain of the final DF shows only checkpoint scans.
+    # repetition signals: explode + two stacked hash aggs, no window
+    "q54_repetition_signals": ["Generate", "HashAggregate"],
+    # k-means final assignment: pure projection over the scan — the
+    # centroids are literals, no shuffle, no Python crossing
+    "q55_kmeans_clusters": ["Project", "Batched: true"],
 }
 
 # patterns that must NOT appear (scale-killers)
@@ -83,6 +92,9 @@ FORBID = {
     "q46_stratified_sample": ["Exchange", "ArrowEvalPython",
                               "BatchEvalPython"],
     "q47_ngram_jaccard_dups": ["CartesianProduct", "SortAggregate"],
+    "q54_repetition_signals": ["SortAggregate", "Window"],
+    "q55_kmeans_clusters": ["Exchange", "ArrowEvalPython",
+                            "BatchEvalPython", "SortAggregate"],
 }
 
 

@@ -1,0 +1,169 @@
+"""Parity tests for the round-3 operators: connected components
+(large-star/small-star) vs a union-find reference, Lloyd k-means vs a
+numpy reference, repetition signals vs a pure-Python count."""
+
+import random
+from collections import Counter
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# connected components
+
+def _uf_clusters(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+CC_CASES = {
+    # chains are the adversarial shape: diameter = n, where naive
+    # min-propagation needs O(n) rounds but star-contraction O(log² n)
+    "chain": [(i, i + 1) for i in range(40)],
+    "clique": [(i, j) for i in range(8) for j in range(i + 1, 8)],
+    "star": [(0, i) for i in range(1, 30)],
+    "two_components": ([(i, i + 1) for i in range(20)]
+                       + [(100 + i, 101 + i) for i in range(15)]),
+    "dups_and_loops": [(1, 2), (2, 1), (1, 2), (5, 5), (7, 8)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(CC_CASES))
+def test_connected_components_shapes(spark, name):
+    from pii_extract_base_spark.operators.graph import connected_components
+    edges = CC_CASES[name]
+    nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
+    expected = _uf_clusters([e for e in edges if e[0] != e[1]], nodes)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_connected_components_random(spark):
+    from pii_extract_base_spark.operators.graph import connected_components
+    rng = random.Random(1234)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
+    expected = _uf_clusters([e for e in edges if e[0] != e[1]], nodes)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_connected_components_null_edges(spark):
+    from pii_extract_base_spark.operators.graph import connected_components
+    df = spark.createDataFrame([(1, 2), (None, 3), (4, None)],
+                               "id_a long, id_b long")
+    got = {r["node"]: r["cluster"]
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_dup_clusters_canonical_flag(spark):
+    from pii_extract_base_spark.operators.graph import dup_clusters
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in dup_clusters(docs, pairs).collect()}
+    # 0-3-5 chain collapses to cluster 0; others are singletons
+    assert out == {0: (0, True), 3: (0, False), 5: (0, False),
+                   1: (1, True), 2: (2, True), 4: (4, True)}
+
+
+# ---------------------------------------------------------------------------
+# k-means
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    np = pytest.importorskip("numpy")
+    from pii_extract_base_spark.operators.cluster import kmeans
+
+    rng = np.random.RandomState(7)
+    dim, n, k, iters = 8, 120, 3, 2
+    pts = rng.randn(n, dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+
+    # reference Lloyd with the operator's exact contract: smallest-id
+    # init, round-4dp centroid updates, (dist, cid) tie-break
+    v = pts.astype(np.float64)
+    cents = {i: v[i].copy() for i in range(k)}
+
+    def assign(cents):
+        lab = {}
+        for i in range(n):
+            best = min((round(float(((v[i] - c) ** 2).sum()), 9), cid)
+                       for cid, c in cents.items())
+            lab[i] = best[1]
+        return lab
+
+    for _ in range(iters):
+        lab = assign(cents)
+        cents = {}
+        for cid in sorted(set(lab.values())):
+            members = np.array([v[i] for i in range(n) if lab[i] == cid])
+            cents[cid] = np.round(members.mean(axis=0), 4)
+    expected = assign(cents)
+
+    assigned, final_cents = kmeans(df, k=k, iters=iters, dim=dim)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got == expected
+    assert sorted(c for c, _ in final_cents) == sorted(cents)
+
+
+def test_kmeans_requires_dim(spark):
+    from pii_extract_base_spark.operators.cluster import kmeans
+    df = spark.createDataFrame([(0, [0.0, 1.0])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        kmeans(df, k=2)
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+
+def test_repetition_signals_vs_python(spark):
+    from pii_extract_base_spark.functions.quality import repetition_signals
+    texts = {
+        0: "a b a b a b c",              # heavy 2-gram repetition
+        1: "w x y z",                    # all unique
+        2: "q q q q q",                  # one gram repeated
+        3: "one two three one two",      # partial repeats
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_signals(df).collect()}
+    for doc_id, text in texts.items():
+        w = text.split()
+        for n in (2, 3):
+            grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+            c = Counter(grams)
+            total = len(grams)
+            row = got[doc_id]
+            assert row[f"n{n}"] == total
+            assert row[f"top{n}_frac"] == round(max(c.values()) / total, 6)
+            dup = sum(v for v in c.values() if v > 1)
+            assert row[f"dup{n}_frac"] == round(dup / total, 6)
+
+
+def test_repetition_signals_short_doc_dropped(spark):
+    from pii_extract_base_spark.functions.quality import repetition_signals
+    df = spark.createDataFrame([(0, "solo"), (1, "a b c")],
+                               "doc_id long, text string")
+    got = {r["doc_id"] for r in repetition_signals(df).collect()}
+    assert got == {1}    # doc 0 has no 2-grams; inner join drops it
