@@ -734,6 +734,30 @@ def q55_kmeans_clusters(spark, sf_dir):
     return assigned
 
 
+def q56_ann_recall(spark, sf_dir):
+    """In-engine ANN quality evaluation: recall@5 of the hyperplane-LSH
+    bucketed top-k (q33's plan) against the exact brute-force top-k
+    (q14's plan), per query — the measurement loop an ANN deployment
+    tunes n_planes/n_tables against, run as ONE declarative query (no
+    driver-side result comparison). Queries whose bucket contains no
+    true neighbor score 0 via the left join."""
+    from pii_extract_base_spark.operators.similarity import (
+        cosine_topk, lsh_bucket_topk)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    truth = cosine_topk(emb, queries_df, k=5).select("q_id", "neighbor_id")
+    approx = (lsh_bucket_topk(emb, queries_df, k=5, n_planes=4, dim=64)
+              .select("q_id", "neighbor_id"))
+    hits = (truth.join(approx, ["q_id", "neighbor_id"])
+                 .groupBy("q_id")
+                 .agg(F.count("*").alias("n_hits")))
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
+    return (queries_df.select(F.col("vec_id").alias("q_id"))
+            .join(hits, "q_id", "left")
+            .select("q_id", n_hits.alias("n_hits"),
+                    F.round(n_hits / F.lit(5.0), 6).alias("recall_at_5")))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -808,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_dup_clusters": q53_dup_clusters,
         "q54_repetition_signals": q54_repetition_signals,
         "q55_kmeans_clusters": q55_kmeans_clusters,
+        "q56_ann_recall": q56_ann_recall,
     }
 
 
@@ -828,7 +853,7 @@ def _rep_cte(n: int) -> str:
                 ) GROUP BY doc_id, g
             ),
             s{n} AS (
-                SELECT doc_id, sum(c) AS n{n},
+                SELECT doc_id, sum(c)::BIGINT AS n{n},
                        round(max(c)::DOUBLE / sum(c), 6) AS top{n}_frac,
                        round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
                              / sum(c), 6) AS dup{n}_frac
@@ -1564,6 +1589,48 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 JOIN s3 USING (doc_id)
         """,
         "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
+        "q56_ann_recall": f"""
+            WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            truth AS (
+                SELECT q_id, neighbor_id FROM (
+                    SELECT q.id AS q_id, c.id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.id
+                               ORDER BY round(list_dot_product(q.v, c.v)
+                                   / (sqrt(list_dot_product(q.v, q.v))
+                                    * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC, c.id ASC) AS rank
+                    FROM e q JOIN e c ON c.id <> q.id
+                    WHERE q.id < 20
+                ) WHERE rank <= 5
+            ),
+            b AS (SELECT id, v, {knn_bucket} AS bucket FROM e),
+            approx AS (
+                SELECT q_id, neighbor_id FROM (
+                    SELECT q.id AS q_id, c.id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.id
+                               ORDER BY round(list_dot_product(q.v, c.v)
+                                   / (sqrt(list_dot_product(q.v, q.v))
+                                    * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC, c.id ASC) AS rank
+                    FROM b q JOIN b c USING (bucket)
+                    WHERE q.id < 20 AND c.id <> q.id
+                ) WHERE rank <= 5
+            ),
+            hits AS (
+                SELECT t.q_id, count(*) AS n_hits
+                FROM truth t JOIN approx a
+                  ON t.q_id = a.q_id AND t.neighbor_id = a.neighbor_id
+                GROUP BY t.q_id
+            )
+            SELECT q.id AS q_id,
+                   coalesce(n_hits, 0) AS n_hits,
+                   round(coalesce(n_hits, 0) / 5.0, 6) AS recall_at_5
+            FROM (SELECT id FROM e WHERE id < 20) q
+            LEFT JOIN hits ON q.id = hits.q_id
+        """,
         # Rows-only (no portable SQL equivalent): q20/q21 (Python-kernel
         # pipeline stages), q24 (langid model), q26/q29/q51 (multimodal
         # mapInPandas), q28 (HLL/quantile sketches).

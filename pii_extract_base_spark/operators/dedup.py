@@ -258,12 +258,11 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 5, num_perm: int = 8,
                  band_size: int = 2, jaccard_threshold: float = 0.8,
                  family: str = "md5slice",
-                 max_bucket: int = 500, near: str = "lsh") -> DataFrame:
+                 max_bucket: int = 500, near: str = "lsh",
+                 resolve: str = "pairwise") -> DataFrame:
     """End-to-end corpus dedup: EXACT duplicates (md5 fingerprint) plus
-    NEAR duplicates (Jaccard >= threshold) are dropped keep-first (a
-    doc is dropped iff a duplicate with a SMALLER id exists — greedy
-    by id, not transitive closure, so the rule is order-independent
-    and replayable in plain SQL). Returns the surviving rows of ``df``.
+    NEAR duplicates (Jaccard >= threshold) are dropped; the surviving
+    rows of ``df`` are returned.
 
     Near-dup backends (``near``):
      - "lsh" (default): banded-MinHash candidates verified by exact
@@ -274,6 +273,19 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
        — no banding false negatives; costs one posting self-join.
      - "none": exact-duplicate pass only.
 
+    Pair-resolution rules (``resolve``) — they differ on open
+    triangles (edges 1–3 and 2–3 but NOT 1–2):
+     - "pairwise" (default): a doc is dropped iff a duplicate with a
+       SMALLER id exists. Greedy by id, order-independent, replayable
+       in plain SQL (the q39 oracle), and it NEVER drops two docs that
+       are not duplicates of each other — above, it keeps 1 AND 2.
+     - "cc": transitive closure via connected components
+       (operators/graph.py): one survivor per duplicate CLUSTER (the
+       min id) — above, 3 bridges 1 and 2 into one cluster and only 1
+       survives. The MinHashLSH-dedup convention (C4, RefinedWeb);
+       costs the O(log²n)-round star-contraction loop on the PAIR
+       relation only.
+
     Plan shape at scale: one narrow anti-join per dup source — the
     exact pass shuffles (id, fp); the LSH pass shuffles signatures and
     shingles only candidate docs (semi-join prune). LSH buckets /
@@ -281,34 +293,45 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     byte-identical boilerplate (the usual cause of an oversized
     bucket) is still removed by the exact pass, which never caps.
     """
+    if resolve not in ("pairwise", "cc"):
+        raise ValueError(f"unknown resolve rule: {resolve!r}")
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     ids = df.select(F.col(id_col), fp.alias("_fp"))
-    exact_losers = (ids.groupBy("_fp")
-                       .agg(F.min(id_col).alias("_keep"),
-                            F.count("*").alias("_n"))
-                       .where(F.col("_n") > 1)
-                       .join(ids, "_fp")
-                       .where(F.col(id_col) != F.col("_keep"))
-                       .select(id_col))
+    exact_pairs = (ids.groupBy("_fp")
+                      .agg(F.min(id_col).alias("_keep"),
+                           F.count("*").alias("_n"))
+                      .where(F.col("_n") > 1)
+                      .join(ids, "_fp")
+                      .where(F.col(id_col) != F.col("_keep"))
+                      .select(F.col("_keep").alias("id_a"),
+                              F.col(id_col).alias("id_b")))
 
     if near == "lsh":
         cand = lsh_candidate_pairs(df, text_col, id_col, k, num_perm,
                                    band_size, family, max_bucket)
         near_pairs = (ngram_jaccard_pairs(df, cand, text_col, id_col, k)
-                      .where(F.col("jaccard") >= jaccard_threshold))
+                      .where(F.col("jaccard") >= jaccard_threshold)
+                      .select("id_a", "id_b"))
     elif near == "exact":
         near_pairs = inverted_index_jaccard(
             df, text_col, id_col, k, threshold=jaccard_threshold,
-            max_df=max_bucket)
+            max_df=max_bucket).select("id_a", "id_b")
     elif near == "none":
         near_pairs = None
     else:
         raise ValueError(f"unknown near backend: {near!r}")
 
-    losers = exact_losers
+    pairs = exact_pairs
     if near_pairs is not None:
-        losers = losers.union(
-            near_pairs.select(F.col("id_b").alias(id_col)))
+        pairs = pairs.union(near_pairs)
+    if resolve == "pairwise":
+        losers = pairs.select(F.col("id_b").alias(id_col))
+    else:
+        from .graph import connected_components
+        cc = connected_components(pairs, node_col=id_col,
+                                  cluster_col="_cluster")
+        losers = (cc.where(F.col(id_col) != F.col("_cluster"))
+                    .select(id_col))
     return df.join(losers.distinct(), id_col, "left_anti")
 
 

@@ -76,6 +76,10 @@ AUDIT = {
     # k-means final assignment: pure projection over the scan — the
     # centroids are literals, no shuffle, no Python crossing
     "q55_kmeans_clusters": ["Project", "Batched: true"],
+    # ANN recall eval: approx side joins on the bucket key (hash join);
+    # the truth side is brute-force BY DEFINITION (ground truth over a
+    # 20-query sample, broadcast), so BNLJ is expected there
+    "q56_ann_recall": ["BroadcastHashJoin", "Window"],
 }
 
 # patterns that must NOT appear (scale-killers)

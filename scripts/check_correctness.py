@@ -7,7 +7,8 @@ compares row count, column-name set, and a value hash computed over
 column-name-sorted, row-sorted output.  Mirrors the driver semantics
 described in the round brief (columns sorted by name before hashing).
 
-Usage: python scripts/check_correctness.py [sf_dir]   (default sf0.01)
+Usage: python scripts/check_correctness.py [sf_dir] [only_substr...]
+(default sf0.01; extra args filter query names by substring)
 """
 
 import hashlib
@@ -19,6 +20,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
@@ -64,6 +66,9 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries, oracles = mod.queries(), mod.oracle_sql()
+    if ONLY:
+        queries = {k: v for k, v in queries.items()
+                   if any(s in k for s in ONLY)}
     results, n_fail = {}, 0
     for name, fn in queries.items():
         try:

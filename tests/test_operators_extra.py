@@ -783,6 +783,32 @@ def test_dedup_corpus_backends_agree(spark):
         dedup_corpus(docs, near="bogus")
 
 
+def test_dedup_corpus_resolve_cc_vs_pairwise(spark):
+    """Open triangle (1~3 and 2~3 near-dups, 1 !~ 2): pairwise keeps 1
+    AND 2 (they are not duplicates of each other); cc bridges them into
+    one cluster and keeps only 1. Closed pairs agree on both rules."""
+    from pii_extract_base_spark.operators.dedup import dedup_corpus
+    a = " ".join(f"a{i}" for i in range(30))
+    b = " ".join(f"b{i}" for i in range(30))
+    # doc 3 = half of a + half of b: near-dup of both at thr 0.25,
+    # while a and b share nothing
+    mid = " ".join(f"a{i}" for i in range(15)) + " " + \
+          " ".join(f"b{i}" for i in range(15, 30))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, mid),
+         (4, "unrelated filler words entirely different content")],
+        "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.2, near="exact", max_bucket=None)
+    kept_pw = {r.doc_id for r in
+               dedup_corpus(docs, resolve="pairwise", **kw).collect()}
+    kept_cc = {r.doc_id for r in
+               dedup_corpus(docs, resolve="cc", **kw).collect()}
+    assert kept_pw == {1, 2, 4}       # 3 drops (smaller dup exists)
+    assert kept_cc == {1, 4}          # {1,2,3} is ONE cluster, min=1
+    with pytest.raises(ValueError):
+        dedup_corpus(docs, resolve="bogus")
+
+
 def test_decontaminate(spark):
     """Docs sharing a k-gram with the eval set drop; max_overlap
     tolerance keeps low-collision docs; broadcast and shuffle paths
