@@ -758,6 +758,43 @@ def q56_ann_recall(spark, sf_dir):
                     F.round(n_hits / F.lit(5.0), 6).alias("recall_at_5")))
 
 
+def q57_langid_sql(spark, sf_dir):
+    """Declarative stopword-overlap language ID (functions/langid_sql):
+    the pure-relational twin of the q24 n-gram kernel — integer rank
+    weights from the same seed vocabulary, broadcast lexicon join,
+    per-doc argmax, NO Python crossing. Confusion-matrix rollup per
+    (true lang, predicted lang); ratios are derived from exact integer
+    sums so the hash matches bit-for-bit."""
+    from pii_extract_base_spark.functions.langid_sql import stopword_langid
+    docs = _t(spark, sf_dir, "documents")
+    pred = stopword_langid(docs)
+    return (docs.select("doc_id", "lang").join(pred, "doc_id")
+                .groupBy("lang", "lang_pred")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_hits").alias("n_hit_tokens"),
+                     F.sum("n_tokens").alias("n_tok_total"))
+                .select("lang", "lang_pred", "n_docs", "n_hit_tokens",
+                        "n_tok_total",
+                        F.round(F.col("n_hit_tokens")
+                                / F.col("n_tok_total"), 6)
+                         .alias("hit_ratio")))
+
+
+def q58_span_dedup(spark, sf_dir):
+    """Sub-document span dedup (operators/dedup.span_dedup): cut every
+    doc into 10-token chunks, remove each chunk whose exact text
+    occurred at an earlier (doc, pos) anywhere in the corpus, re-join
+    survivors in order. Per-doc output with an md5 of the cleaned text
+    so the whole reconstruction is hash-verified."""
+    from pii_extract_base_spark.operators.dedup import span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup(docs, span=10)
+    return out.select("doc_id",
+                      F.col("n_chunks").cast("long").alias("n_chunks"),
+                      "n_kept",
+                      F.md5("clean_text").alias("clean_fp"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -833,6 +870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_repetition_signals": q54_repetition_signals,
         "q55_kmeans_clusters": q55_kmeans_clusters,
         "q56_ann_recall": q56_ann_recall,
+        "q57_langid_sql": q57_langid_sql,
+        "q58_span_dedup": q58_span_dedup,
     }
 
 
@@ -859,6 +898,14 @@ def _rep_cte(n: int) -> str:
                              / sum(c), 6) AS dup{n}_frac
                 FROM pg{n} GROUP BY doc_id
             )"""
+
+
+def _lexicon_values() -> str:
+    """q57's seed lexicon as a DuckDB VALUES literal (same rows the
+    Spark side broadcasts — functions/langid_sql.lexicon_rows)."""
+    from pii_extract_base_spark.functions.langid_sql import (
+        lexicon_values_sql)
+    return lexicon_values_sql()
 
 
 def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
@@ -1589,6 +1636,70 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 JOIN s3 USING (doc_id)
         """,
         "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
+        "q58_span_dedup": f"""
+            WITH t AS (SELECT doc_id, {_DUCK_WORDS} AS toks
+                       FROM documents),
+            c AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(cast(ceil(len(toks) / 10.0) AS BIGINT)),
+                           i -> {{'pos': i, 'chunk': array_to_string(
+                                     toks[i*10+1 : i*10+10], ' ')}}))
+                           AS pc
+                FROM t
+            ),
+            c2 AS (SELECT doc_id, pc.pos AS pos, pc.chunk AS chunk FROM c),
+            kept AS (
+                SELECT doc_id, pos, chunk FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY chunk
+                        ORDER BY doc_id, pos) AS rn
+                    FROM c2) WHERE rn = 1
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(chunk, ' ' ORDER BY pos))
+                           AS clean_fp
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   cast(ceil(len(toks) / 10.0) AS BIGINT) AS n_chunks,
+                   coalesce(n_kept, 0) AS n_kept,
+                   coalesce(clean_fp, md5('')) AS clean_fp
+            FROM t LEFT JOIN agg USING (doc_id)
+        """,
+        "q57_langid_sql": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(unnest({_DUCK_WORDS})) AS word
+                FROM documents
+            ),
+            scores AS (
+                SELECT doc_id, lex_lang, sum(wt) AS score,
+                       count(*) AS n_hits
+                FROM toks JOIN {_lexicon_values()} USING (word)
+                GROUP BY doc_id, lex_lang
+            ),
+            best AS (
+                SELECT doc_id, lex_lang AS lang_pred, n_hits FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY score DESC, lex_lang ASC) AS rn
+                    FROM scores) WHERE rn = 1
+            ),
+            per_doc AS (
+                SELECT d.doc_id, d.lang,
+                       coalesce(b.lang_pred, 'und') AS lang_pred,
+                       coalesce(b.n_hits, 0) AS n_hits,
+                       len({_DUCK_WORDS}) AS n_tokens
+                FROM documents d LEFT JOIN best b USING (doc_id)
+            )
+            SELECT lang, lang_pred, count(*) AS n_docs,
+                   sum(n_hits)::BIGINT AS n_hit_tokens,
+                   sum(n_tokens)::BIGINT AS n_tok_total,
+                   round(sum(n_hits)::DOUBLE / sum(n_tokens), 6)
+                       AS hit_ratio
+            FROM per_doc GROUP BY lang, lang_pred
+        """,
         "q56_ann_recall": f"""
             WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
                        FROM embeddings),

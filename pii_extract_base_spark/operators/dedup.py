@@ -475,3 +475,64 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     with family="xxhash64" for production near-dup hamming search)."""
     return df.select(F.col(id_col),
                      simhash_col(text_col, bits, family).alias("simhash"))
+
+
+def span_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", span: int = 10) -> DataFrame:
+    """Sub-document (span-level) dedup, the C4/RefinedWeb fine-grained
+    pass that document-level dedup cannot express: the corpus is cut
+    into non-overlapping ``span``-token chunks, and every chunk whose
+    exact text occurred earlier in the corpus (at a smaller (doc, pos))
+    is REMOVED from the document; the document itself survives with the
+    remaining chunks re-joined in order.  Catches boilerplate repeated
+    INSIDE otherwise-unique pages — cookie banners, nav bars, license
+    headers — which never trips a whole-doc fingerprint.
+
+    Keep-first is decided by a global row_number over each chunk text
+    ordered by (doc id, chunk pos): deterministic, order-independent,
+    and exactly replayable in SQL.  Returns one row per input doc:
+    (id, n_chunks, n_kept, clean_text).
+
+    Plan at scale: one explode (docs -> ~tokens/span chunk rows), ONE
+    shuffle on the chunk-text hash for the keep-first window, one
+    shuffle back on id for the ordered re-assembly — both keyed
+    shuffles, no self-join, no pair blowup (bucket size never matters
+    because only rank 1 survives, a WindowGroupLimit pushdown).  The
+    re-assembly aggregates sort_array(collect_list(struct(pos, chunk)))
+    so reconstruction order never depends on shuffle arrival order.
+    """
+    from pyspark.sql import Window
+    from ..functions.textstats import words_col
+
+    toks = words_col(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    # guard: F.sequence(0, -1) yields [0, -1], not [] — empty docs must
+    # produce zero chunk rows
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(toks, i * span + 1, span), " "))
+        ).alias("pos", "chunk"))
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    kept = (chunks.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1))
+    base = df.select(F.col(id_col), n_chunks.alias("n_chunks"))
+    agg = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("pos", "chunk"))),
+                            lambda s: s["chunk"]), " ")
+                    .alias("clean_text")))
+    return (base.join(agg, id_col, "left")
+                .select(id_col, "n_chunks",
+                        F.coalesce("n_kept", F.lit(0).cast("long"))
+                         .alias("n_kept"),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

@@ -911,3 +911,73 @@ def test_review_fix_regressions(spark, tmp_path):
     raw = open(sink._manifest_path).read()
     assert '{"torn' not in json.dumps(parsed)
     assert raw.count("\n") == 3         # torn line got its newline
+
+
+def test_stopword_langid(spark):
+    """Declarative langid predicts the right language on seed-word text
+    (per language), falls back to 'und' on zero-hit/empty text, and its
+    integer scores make the argmax order-independent. Also checks the
+    margin routing helper orders easy >> ambiguous docs."""
+    from pii_extract_base_spark.functions.langdata import SEED_WORDS
+    from pii_extract_base_spark.functions.langid_sql import (
+        langid_sql_margin, stopword_langid)
+    rows = [(i, " ".join(SEED_WORDS[lang][:15]), lang)
+            for i, lang in enumerate(("en", "es", "fr", "de"))]
+    rows += [(10, "zzz qqq xxx", "none"), (11, "", "none"), (12, None, "none")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, truth string")
+    got = {r.doc_id: r for r in stopword_langid(docs).collect()}
+    for i, lang in enumerate(("en", "es", "fr", "de")):
+        assert got[i].lang_pred == lang, (i, got[i])
+        assert got[i].n_hits > 0 and got[i].score > 0
+    for i in (10, 11, 12):
+        assert got[i].lang_pred == "und"
+        assert got[i].score == 0 and got[i].n_hits == 0
+    assert got[10].n_tokens == 3 and got[11].n_tokens == 0
+
+    # mixed-language doc scores both langs; margin(top1, top2) is small
+    # vs a pure doc's margin
+    from pyspark.sql import functions as F
+    mixed = spark.createDataFrame(
+        [(0, " ".join(SEED_WORDS["en"][:10] + SEED_WORDS["fr"][:10])),
+         (1, " ".join(SEED_WORDS["en"][:10] * 2))],
+        "doc_id long, text string")
+    toks = mixed.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    from pii_extract_base_spark.functions.langid_sql import lexicon_df
+    sc = (toks.join(lexicon_df(spark), "word")
+              .groupBy("doc_id", "lex_lang")
+              .agg(F.sum("wt").alias("score")))
+    m = (sc.select("doc_id", langid_sql_margin(sc))
+           .groupBy("doc_id").agg(F.min("margin").alias("margin")))
+    margins = {r.doc_id: r.margin for r in m.collect()}
+    assert margins[1] > margins[0]
+
+
+def test_span_dedup(spark):
+    """Span-level dedup removes repeated chunks (keep-first by
+    (doc, pos)), preserves chunk order on re-assembly, and handles the
+    edges: doc shorter than one span, empty/NULL text, and a doc whose
+    every chunk occurred earlier (fully hollowed out but still a row)."""
+    from pii_extract_base_spark.operators.dedup import span_dedup
+    boiler = " ".join(f"b{i}" for i in range(10))    # one exact chunk
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + uniq1),       # first use of boiler: kept
+         (2, uniq2 + " " + boiler),       # boiler chunk at pos 1 drops
+         (3, boiler),                     # fully hollowed out
+         (4, "short doc"),                # < span tokens: one chunk
+         (5, ""), (6, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(docs, span=10).collect()}
+    assert len(got) == 6
+    assert (got[1].n_chunks, got[1].n_kept) == (2, 2)
+    assert got[1].clean_text == boiler + " " + uniq1   # order preserved
+    assert (got[2].n_chunks, got[2].n_kept) == (2, 1)
+    assert got[2].clean_text == uniq2
+    assert (got[3].n_chunks, got[3].n_kept) == (1, 0)
+    assert got[3].clean_text == ""
+    assert (got[4].n_chunks, got[4].n_kept) == (1, 1)
+    assert got[4].clean_text == "short doc"
+    for i in (5, 6):
+        assert (got[i].n_chunks, got[i].n_kept, got[i].clean_text) == \
+            (0, 0, "")
