@@ -795,6 +795,73 @@ def q58_span_dedup(spark, sf_dir):
                       F.md5("clean_text").alias("clean_fp"))
 
 
+def q59_token_shards(spark, sf_dir):
+    """Token-budget shard packing (operators/sharding): docs in id
+    order are binned into 5000-token training shards via a two-phase
+    distributed prefix sum (per-partition scans + a #partitions-row
+    offset pass — no global single-partition window over the corpus).
+    The oracle computes the same inclusive cumsum with DuckDB's serial
+    window, proving the distributed scan equals the sequential one."""
+    from pii_extract_base_spark.operators.sharding import (
+        shard_manifest, token_budget_shards)
+    docs = _t(spark, sf_dir, "documents")
+    assign = token_budget_shards(docs, budget=5000, num_partitions=8)
+    return shard_manifest(assign)
+
+
+def q60_bloom_blocklist(spark, sf_dir):
+    """Broadcast Bloom-filter blocklist screen (operators/bloom): the
+    src0 documents' fingerprints form the blocklist; every doc is
+    tested map-side against the 4096-bit bloom (k=3 portable md5-slice
+    probes, zero shuffle) and against the exact set. Per-source rollup
+    of bloom hits / exact hits / false positives — the FP set itself is
+    deterministic and replayed bit-for-bit by the oracle."""
+    from pii_extract_base_spark.operators.bloom import (
+        bloom_build, bloom_might_contain)
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.md5(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("fp")))
+    block = docs.where(F.col("source") == "src0").select("fp").distinct()
+    bloom = bloom_build(block, "fp", n_bits=4096, k=3)
+    tagged = bloom_might_contain(docs, bloom, "fp", n_bits=4096, k=3)
+    exact = block.select("fp", F.lit(True).alias("_ex"))
+    j = (tagged.join(F.broadcast(exact), "fp", "left")
+               .withColumn("exact_hit",
+                           F.coalesce(F.col("_ex"), F.lit(False))))
+    return (j.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+                   .alias("n_bloom_hits"),
+                  F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
+                   .alias("n_exact_hits"),
+                  F.sum(F.when(F.col("bloom_hit") & ~F.col("exact_hit"),
+                               1).otherwise(0))
+                   .alias("n_false_pos")))
+
+
+def q61_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimates (operators/sketch) for the
+    top-20 exact-count tokens: a deliberately narrow 3×32 sketch so
+    eval-scale collisions produce nonzero overcounts, every one of
+    which the oracle replays exactly (portable md5-slice probes).
+    est >= exact always; overcount = est - exact."""
+    from pii_extract_base_spark.operators.sketch import (
+        cms_build, cms_lookup)
+    from pii_extract_base_spark.functions.textstats import words_col
+    docs = _t(spark, sf_dir, "documents")
+    exact = (docs.select(F.explode(words_col("text")).alias("token"))
+                 .groupBy("token")
+                 .agg(F.count("*").alias("exact_n")))
+    sketch = cms_build(exact, "token", depth=3, width=32,
+                       count_col="exact_n")
+    top = (exact.orderBy(F.desc("exact_n"), F.asc("token")).limit(20))
+    est = cms_lookup(top, sketch, "token", depth=3, width=32)
+    return est.select("token", "exact_n", "cms_est",
+                      (F.col("cms_est") - F.col("exact_n"))
+                      .alias("overcount"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -872,6 +939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_ann_recall": q56_ann_recall,
         "q57_langid_sql": q57_langid_sql,
         "q58_span_dedup": q58_span_dedup,
+        "q59_token_shards": q59_token_shards,
+        "q60_bloom_blocklist": q60_bloom_blocklist,
+        "q61_cms_heavy_hitters": q61_cms_heavy_hitters,
     }
 
 
@@ -1636,6 +1706,103 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 JOIN s3 USING (doc_id)
         """,
         "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
+        "q61_cms_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest({_DUCK_WORDS}) AS token FROM documents
+            ),
+            exact AS (
+                SELECT token, count(*)::BIGINT AS exact_n
+                FROM toks GROUP BY token
+            ),
+            probes AS (
+                SELECT token, exact_n, r,
+                       (('0x' || substr(md5(r::VARCHAR || ':' || token),
+                                        1, 8))::BIGINT % 32) AS bucket
+                FROM exact, (SELECT unnest([0, 1, 2]) AS r)
+            ),
+            sketch AS (
+                SELECT r, bucket, sum(exact_n)::BIGINT AS c
+                FROM probes GROUP BY r, bucket
+            ),
+            top AS (
+                SELECT token, exact_n FROM exact
+                ORDER BY exact_n DESC, token LIMIT 20
+            ),
+            est AS (
+                SELECT p.token, min(coalesce(s.c, 0)) AS cms_est
+                FROM (SELECT token, r, bucket FROM probes
+                      WHERE token IN (SELECT token FROM top)) p
+                LEFT JOIN sketch s USING (r, bucket)
+                GROUP BY p.token
+            )
+            SELECT token, exact_n, cms_est,
+                   cms_est - exact_n AS overcount
+            FROM top JOIN est USING (token)
+        """,
+        "q60_bloom_blocklist": """
+            WITH fps AS (
+                SELECT doc_id, source, md5(coalesce(text, '')) AS fp
+                FROM documents
+            ),
+            block AS (SELECT DISTINCT fp FROM fps WHERE source = 'src0'),
+            posn AS (
+                SELECT (('0x' || substr(md5(i::VARCHAR || '#' || fp),
+                                        1, 8))::BIGINT % 4096) AS pos
+                FROM (SELECT fp, unnest([0, 1, 2]) AS i FROM block)
+            ),
+            bloom AS (
+                SELECT (pos // 32)::INT AS word,
+                       bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+                FROM posn GROUP BY 1
+            ),
+            pr AS (
+                SELECT doc_id, source, fp,
+                       (('0x' || substr(md5(i::VARCHAR || '#' || fp),
+                                        1, 8))::BIGINT % 4096) AS pos
+                FROM (SELECT doc_id, source, fp, unnest([0, 1, 2]) AS i
+                      FROM fps)
+            ),
+            hits AS (
+                SELECT doc_id, source, fp,
+                       count(*) FILTER (
+                           ((coalesce(bits, 0) >> (pos % 32)::INT) & 1)
+                           = 1) AS nbits
+                FROM pr LEFT JOIN bloom ON (pos // 32)::INT = word
+                GROUP BY doc_id, source, fp
+            ),
+            per_doc AS (
+                SELECT doc_id, source, (nbits = 3) AS bloom_hit,
+                       fp IN (SELECT fp FROM block) AS exact_hit
+                FROM hits
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)::BIGINT
+                       AS n_bloom_hits,
+                   sum(CASE WHEN exact_hit THEN 1 ELSE 0 END)::BIGINT
+                       AS n_exact_hits,
+                   sum(CASE WHEN bloom_hit AND NOT exact_hit
+                            THEN 1 ELSE 0 END)::BIGINT AS n_false_pos
+            FROM per_doc GROUP BY source
+        """,
+        "q59_token_shards": f"""
+            WITH t AS (
+                SELECT doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n_tokens AS tokens_before
+                FROM t
+            )
+            SELECT (tokens_before // 5000)::BIGINT AS shard,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM c GROUP BY 1
+        """,
         "q58_span_dedup": f"""
             WITH t AS (SELECT doc_id, {_DUCK_WORDS} AS toks
                        FROM documents),

@@ -981,3 +981,99 @@ def test_span_dedup(spark):
     for i in (5, 6):
         assert (got[i].n_chunks, got[i].n_kept, got[i].clean_text) == \
             (0, 0, "")
+
+
+def test_distributed_prefix_sum_and_shards(spark):
+    """Two-phase distributed scan == sequential cumsum regardless of
+    partition count; shard binning places a budget-straddling doc in
+    the shard its first token falls in."""
+    import random
+    from pii_extract_base_spark.operators.sharding import (
+        distributed_prefix_sum, shard_manifest, token_budget_shards)
+    rng = random.Random(7)
+    vals = [(i, rng.randrange(0, 50)) for i in range(200)]
+    df = spark.createDataFrame(vals, "k long, v long")
+    for nparts in (1, 3, 7):
+        got = {r.k: r.cum for r in
+               distributed_prefix_sum(df, "v", "k",
+                                      num_partitions=nparts).collect()}
+        run = 0
+        for k, v in vals:
+            run += v
+            assert got[k] == run, (nparts, k)
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 6), (2, "w " * 6), (3, "w " * 6)],
+        "doc_id long, text string")
+    a = {r.doc_id: r for r in
+         token_budget_shards(docs, budget=10, num_partitions=2).collect()}
+    # doc2 starts at token 6 (< 10): straddles into shard 0;
+    # doc3 starts at 12: shard 1
+    assert [a[i].shard for i in (1, 2, 3)] == [0, 0, 1]
+    assert [a[i].tokens_before for i in (1, 2, 3)] == [0, 6, 12]
+    m = {r.shard: r for r in
+         shard_manifest(token_budget_shards(
+             docs, budget=10, num_partitions=2)).collect()}
+    assert m[0].n_docs == 2 and m[0].n_tokens == 12
+    assert m[1].first_doc == 3 and m[1].last_doc == 3
+
+
+def test_bloom_prune_antijoin(spark):
+    """Bloom membership has no false negatives, and the bloom-pruned
+    anti-join returns exactly the plain anti-join's rows — including
+    under a deliberately saturated (64-bit) bloom where almost every
+    probe is a false positive and correctness rides on the exact
+    verify join."""
+    from pii_extract_base_spark.operators.bloom import (
+        bloom_build, bloom_might_contain, bloom_prune_antijoin)
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(300)],
+                                 "key string")
+    block = spark.createDataFrame([(f"k{i}",) for i in range(0, 300, 7)],
+                                  "bk string")
+    bloom = bloom_build(block, "bk", n_bits=2048, k=3)
+    tagged = {r.key: r.bloom_hit for r in
+              bloom_might_contain(keys, bloom, "key",
+                                  n_bits=2048, k=3).collect()}
+    blocked = {f"k{i}" for i in range(0, 300, 7)}
+    for b in blocked:
+        assert tagged[b], f"false negative on {b}"
+
+    expect = {r.key for r in
+              keys.join(block.withColumnRenamed("bk", "key"),
+                        "key", "left_anti").collect()}
+    for n_bits in (2048, 64):      # 64 bits = saturated, FP-heavy
+        got = {r.key for r in
+               bloom_prune_antijoin(keys, block, "key", "bk",
+                                    n_bits=n_bits, k=3).collect()}
+        assert got == expect, n_bits
+
+
+def test_count_min_sketch(spark):
+    """CMS never undercounts; a weighted build equals the per-occurrence
+    build; and two partition sketches merge by plain addition into the
+    union's sketch (the property that makes it streamable)."""
+    from pyspark.sql import functions as F
+    from pii_extract_base_spark.operators.sketch import (
+        cms_build, cms_lookup)
+    occ = [(f"t{i % 17}",) for i in range(400)]
+    df = spark.createDataFrame(occ, "item string")
+    exact = df.groupBy("item").agg(F.count("*").alias("n"))
+
+    sk_occ = cms_build(df, "item", depth=3, width=16)
+    sk_wt = cms_build(exact, "item", depth=3, width=16, count_col="n")
+    assert (sorted(map(tuple, sk_occ.collect()))
+            == sorted(map(tuple, sk_wt.collect())))
+
+    est = {r.item: r.cms_est for r in
+           cms_lookup(exact, sk_occ, "item",
+                      depth=3, width=16).collect()}
+    truth = {r.item: r.n for r in exact.collect()}
+    assert all(est[k] >= truth[k] for k in truth)
+
+    half1, half2 = df.where(F.length("item") == 2), \
+        df.where(F.length("item") == 3)       # t0..t9 vs t10..t16
+    merged = (cms_build(half1, "item", depth=3, width=16)
+              .unionByName(cms_build(half2, "item", depth=3, width=16))
+              .groupBy("row", "bucket").agg(F.sum("c").alias("c")))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, sk_occ.collect())))
