@@ -862,6 +862,21 @@ def q61_cms_heavy_hitters(spark, sf_dir):
                       .alias("overcount"))
 
 
+def q62_incremental_dedup(spark, sf_dir):
+    """Incremental batch-over-archive dedup (dedup_incremental): docs
+    with id % 4 == 0 are the incoming batch, the rest the immutable
+    archive. Batch docs drop iff they exact/near-dup an archive doc or
+    a smaller-id batch doc; archive-vs-archive pairs are never
+    generated. Full SQL replay (exact + banded-LSH + Jaccard verify
+    with the new/archive orientation rule)."""
+    from pii_extract_base_spark.operators.dedup import dedup_incremental
+    docs = _t(spark, sf_dir, "documents")
+    arch = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    out = dedup_incremental(new, arch, jaccard_threshold=0.8)
+    return out.select("doc_id", "n_chars")
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -942,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_token_shards": q59_token_shards,
         "q60_bloom_blocklist": q60_bloom_blocklist,
         "q61_cms_heavy_hitters": q61_cms_heavy_hitters,
+        "q62_incremental_dedup": q62_incremental_dedup,
     }
 
 
@@ -1470,6 +1486,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM exact_losers
+                                 UNION SELECT doc_id FROM near_losers)
+        """,
+        "q62_incremental_dedup": f"""
+            WITH tags AS (
+                SELECT doc_id, (doc_id % 4 = 0) AS is_new FROM documents
+            ),
+            ids AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS fp
+                FROM documents
+            ),
+            g AS (
+                SELECT fp,
+                       max(CASE WHEN NOT t.is_new THEN 1 ELSE 0 END) = 1
+                           AS has_arch,
+                       min(CASE WHEN t.is_new THEN i.doc_id END)
+                           AS new_min
+                FROM ids i JOIN tags t USING (doc_id) GROUP BY fp
+            ),
+            exact_losers AS (
+                SELECT i.doc_id FROM ids i
+                JOIN tags t USING (doc_id) JOIN g USING (fp)
+                WHERE t.is_new AND (g.has_arch OR i.doc_id <> g.new_min)
+            ),
+            sig AS (
+                SELECT doc_id, [{minhash_sig}] AS sig
+                FROM documents WHERE len({shingles5}) > 0
+            ),
+            bands AS (
+                SELECT doc_id, t.b AS band,
+                       sig[2*t.b + 1]::VARCHAR || '#' ||
+                       sig[2*t.b + 2]::VARCHAR AS bkey
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+                QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                        <= {MAX_BUCKET}
+            ),
+            pairs AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bands x JOIN bands y USING (band, bkey)
+                JOIN tags ta ON ta.doc_id = x.doc_id
+                JOIN tags tb ON tb.doc_id = y.doc_id
+                WHERE x.doc_id < y.doc_id AND (ta.is_new OR tb.is_new)
+            ),
+            sh AS (SELECT doc_id, {shingles5} AS sh FROM documents),
+            near_losers AS (
+                SELECT CASE WHEN ta.is_new AND tb.is_new THEN id_b
+                            WHEN ta.is_new THEN id_a
+                            ELSE id_b END AS doc_id
+                FROM pairs
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b
+                JOIN tags ta ON ta.doc_id = id_a
+                JOIN tags tb ON tb.doc_id = id_b
+                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                            / len(list_distinct(a.sh || b.sh)), 6)
+                      >= 0.8
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 4 = 0
+              AND doc_id NOT IN (SELECT doc_id FROM exact_losers
                                  UNION SELECT doc_id FROM near_losers)
         """,
         "q40_repeat_buyers_both_years": """

@@ -536,3 +536,76 @@ def span_dedup(df: DataFrame, text_col: str = "text",
                          .alias("n_kept"),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+def dedup_incremental(new_df: DataFrame, archive_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 5, num_perm: int = 8, band_size: int = 2,
+                      jaccard_threshold: float = 0.8,
+                      family: str = "md5slice",
+                      max_bucket: int = 500) -> DataFrame:
+    """Incremental (batch-over-archive) dedup — the shape every
+    continuously-crawled corpus needs: the ARCHIVE is already deduped
+    and immutable; only the NEW batch is filtered.  A new doc is
+    dropped iff it exact- or near-duplicates (Jaccard >= threshold)
+    any archive doc, or a NEW doc with a smaller id (keep-first within
+    the batch, same order-independent rule as dedup_corpus).  Archive
+    rows are never returned and never dropped.
+
+    Ids must be unique across archive ∪ new.
+
+    Scale shape: this is cheaper than re-running dedup_corpus over
+    archive + batch because NO archive-vs-archive pairs are ever
+    generated — the band self-join is filtered to pairs touching a new
+    doc before the distinct, and the Jaccard verify re-shingles only
+    candidate docs (semi-join prune in ngram_jaccard_pairs).  At 1e12
+    archived docs the dominant cost is re-hashing archive signatures;
+    production keeps the signature and fingerprint relations as
+    bucketed tables (sources/bucketed.py) so each nightly batch joins
+    against them without a full archive scan — the banded join below
+    is bucket-colocatable on (band, bkey).
+    """
+    new_ids = new_df.select(F.col(id_col), F.lit(True).alias("_new"))
+    arch_ids = archive_df.select(F.col(id_col), F.lit(False).alias("_new"))
+    union = (new_df.select(id_col, text_col)
+                   .unionByName(archive_df.select(id_col, text_col)))
+    tags = new_ids.unionByName(arch_ids)
+
+    # --- exact pass: a new doc loses iff its fingerprint group holds
+    # an archive doc or a smaller-id new doc
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    fps = (union.select(F.col(id_col), fp.alias("_fp"))
+                .join(tags, id_col))
+    grp = (fps.groupBy("_fp")
+              .agg(F.max(F.when(~F.col("_new"), True).otherwise(False))
+                    .alias("_has_arch"),
+                   F.min(F.when(F.col("_new"), F.col(id_col)))
+                    .alias("_new_min")))
+    exact_losers = (fps.where(F.col("_new")).join(grp, "_fp")
+                       .where(F.col("_has_arch")
+                              | (F.col(id_col) != F.col("_new_min")))
+                       .select(id_col))
+
+    # --- near pass: banded LSH over the union, pairs restricted to
+    # (new, new) / (new, archive) BEFORE distinct; Jaccard verify
+    cand = lsh_candidate_pairs(union, text_col, id_col, k, num_perm,
+                               band_size, family, max_bucket)
+    ta = tags.select(F.col(id_col).alias("id_a"),
+                     F.col("_new").alias("_new_a"))
+    tb = tags.select(F.col(id_col).alias("id_b"),
+                     F.col("_new").alias("_new_b"))
+    cand = (cand.join(ta, "id_a").join(tb, "id_b")
+                .where(F.col("_new_a") | F.col("_new_b")))
+    near = (ngram_jaccard_pairs(union, cand.select("id_a", "id_b"),
+                                text_col, id_col, k)
+            .where(F.col("jaccard") >= jaccard_threshold)
+            .join(ta, "id_a").join(tb, "id_b"))
+    # loser orientation: the new side loses; new-vs-new keeps first.
+    # (id_a < id_b by construction, so new-vs-new drops id_b.)
+    near_losers = (near.select(
+        F.when(F.col("_new_a") & F.col("_new_b"), F.col("id_b"))
+         .when(F.col("_new_a"), F.col("id_a"))
+         .otherwise(F.col("id_b")).alias(id_col)))
+
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return new_df.join(losers, id_col, "left_anti")

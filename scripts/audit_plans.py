@@ -80,6 +80,24 @@ AUDIT = {
     # the truth side is brute-force BY DEFINITION (ground truth over a
     # 20-query sample, broadcast), so BNLJ is expected there
     "q56_ann_recall": ["BroadcastHashJoin", "Window"],
+    # stopword langid: ~240-row lexicon broadcasts; integer-sum agg +
+    # per-doc argmax window, no Python crossing anywhere
+    "q57_langid_sql": ["BroadcastHashJoin", "Window", "HashAggregate"],
+    # span dedup: keep-first is a rank-1 window (WindowGroupLimit
+    # pushes the limit map-side), re-assembly is a sort_array over
+    # collect_list structs — no self-join, no pair blowup
+    "q58_span_dedup": ["WindowGroupLimit", "HashAggregate"],
+    # two-phase prefix sum: per-partition windows + a tiny offsets
+    # relation broadcast back — the offsets join must broadcast
+    "q59_token_shards": ["BroadcastHashJoin", "Window"],
+    # bloom screen: bitset build aggregates to <=128 rows, membership
+    # is k broadcast joins — the corpus side never shuffles for them
+    "q60_bloom_blocklist": ["BroadcastHashJoin", "HashAggregate"],
+    # count-min: one explode + hash agg build, broadcast lookup join
+    "q61_cms_heavy_hitters": ["Generate", "BroadcastHashJoin"],
+    # incremental dedup: anti-join of batch against loser ids; the
+    # banded join is the same capped-window plan as q22
+    "q62_incremental_dedup": ["LeftAnti", "Window"],
 }
 
 # patterns that must NOT appear (scale-killers)
@@ -99,6 +117,17 @@ FORBID = {
     "q54_repetition_signals": ["SortAggregate", "Window"],
     "q55_kmeans_clusters": ["Exchange", "ArrowEvalPython",
                             "BatchEvalPython", "SortAggregate"],
+    "q57_langid_sql": ["ArrowEvalPython", "BatchEvalPython",
+                       "SortAggregate"],
+    "q58_span_dedup": ["CartesianProduct", "SortAggregate",
+                       "ArrowEvalPython", "BatchEvalPython"],
+    "q59_token_shards": ["ArrowEvalPython", "BatchEvalPython"],
+    "q60_bloom_blocklist": ["CartesianProduct", "SortMergeJoin",
+                            "ArrowEvalPython", "BatchEvalPython"],
+    "q61_cms_heavy_hitters": ["CartesianProduct", "SortAggregate",
+                              "ArrowEvalPython", "BatchEvalPython"],
+    "q62_incremental_dedup": ["CartesianProduct", "SortAggregate",
+                              "ArrowEvalPython", "BatchEvalPython"],
 }
 
 

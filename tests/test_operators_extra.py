@@ -1077,3 +1077,26 @@ def test_count_min_sketch(spark):
               .groupBy("row", "bucket").agg(F.sum("c").alias("c")))
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, sk_occ.collect())))
+
+
+def test_dedup_incremental(spark):
+    """Archive always wins (even with a LARGER id than the batch doc);
+    keep-first within the batch; archive rows never returned; unrelated
+    batch docs untouched; near-dup against archive drops too."""
+    from pii_extract_base_spark.operators.dedup import dedup_incremental
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"   # jac ~ 0.9
+    other = " ".join(f"x{i}" for i in range(40))
+    arch = spark.createDataFrame(
+        [(100, base), (101, other)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, base),          # exact dup of archive 100 (smaller id!)
+         (2, near),          # near dup of archive
+         (3, "totally different unique words here only once"),
+         (4, "totally different unique words here only once"),  # dup of 3
+         (5, " ".join(f"y{i}" for i in range(40)))],
+        "doc_id long, text string")
+    kept = {r.doc_id for r in
+            dedup_incremental(new, arch, jaccard_threshold=0.8,
+                              max_bucket=None).collect()}
+    assert kept == {3, 5}
