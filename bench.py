@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "q45_price_band_ranges",
     "q47_ngram_jaccard_dups",
     "q48_salted_skew_join",
+    "q57_langid_sql",
+    "q58_span_dedup",
+    "q60_bloom_blocklist",
 ]
 
 

@@ -25,3 +25,64 @@ def make_score_udf():
         })
 
     return score_udf
+
+
+def routed_langid(df, text_col: str = "text", id_col: str = "doc_id",
+                  margin_threshold: int = 200_000):
+    """Cascaded language ID for langid-only stages (routing a crawl by
+    language before heavier per-language processing): the declarative
+    stopword scorer (functions/langid_sql — broadcast join, zero
+    Python) decides every doc whose top1−top2 integer margin clears
+    ``margin_threshold``; ONLY the ambiguous remainder crosses into the
+    Arrow n-gram kernel.  At web scale the easy fraction dominates, so
+    the expensive crossing sees a sliver of the corpus — the classic
+    cheap-filter→expensive-model cascade.
+
+    Returns (id, lang_pred, route) with route ∈ {'sql', 'kernel'}.
+    Disagreement between the two models on the EASY side is the
+    trade-off being bought; `tests/test_operators_extra.py` pins the
+    routing contract (easy docs = SQL's answer, ambiguous = kernel's).
+
+    Note this is NOT a replacement for the fused langid+ppl stage
+    (pipeline.py): when perplexity is needed anyway, every doc crosses
+    regardless and the cascade saves nothing — use it where language
+    alone gates the next stage.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.langid_sql import lexicon_df
+
+    spark = df.sparkSession
+    # per-doc (score, margin) from the lexicon join; stopword_langid
+    # recomputed columns would hide the margin, so inline the window
+    toks = (df.select(F.col(id_col),
+                      F.explode_outer(
+                          F.split(F.lower(F.coalesce(F.col(text_col),
+                                                     F.lit(""))),
+                                  r"\s+")).alias("word")))
+    sc = (toks.join(F.broadcast(lexicon_df(spark)), "word")
+              .groupBy(id_col, "lex_lang")
+              .agg(F.sum("wt").alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                           F.asc("lex_lang"))
+    ranked = (sc.withColumn("rn", F.row_number().over(w))
+                .withColumn("margin",
+                            F.col("score")
+                            - F.coalesce(F.lead("score").over(w),
+                                         F.lit(0))))
+    best = (ranked.where(F.col("rn") == 1)
+                  .select(id_col, F.col("lex_lang").alias("_sql_pred"),
+                          "margin"))
+    tagged = (df.select(F.col(id_col), F.col(text_col))
+                .join(best, id_col, "left"))
+    easy = (tagged.where(F.col("margin") >= margin_threshold)
+                  .select(id_col, F.col("_sql_pred").alias("lang_pred"),
+                          F.lit("sql").alias("route")))
+    hard = tagged.where(F.col("margin").isNull()
+                        | (F.col("margin") < margin_threshold))
+    kernel = (hard.withColumn("_s", make_score_udf()(F.col(text_col)))
+                  .select(id_col,
+                          F.col("_s.lang_pred").alias("lang_pred"),
+                          F.lit("kernel").alias("route")))
+    return easy.unionByName(kernel)

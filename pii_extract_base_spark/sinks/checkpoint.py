@@ -256,6 +256,67 @@ class CheckpointedSink:
                       "entities": ents}
         return out
 
+    # -- maintenance (Iceberg procedure equivalents) ---------------------------
+
+    def compact_partitions(self, spark, target_files: int = 1) -> int:
+        """Small-file compaction — the shim's `rewrite_data_files`
+        (Iceberg spark procedure): each committed partition dir is
+        rewritten into ``target_files`` parquet files.  A wave written
+        at high parallelism leaves one file per task per partition;
+        at 1000 executors × small partitions that is the classic
+        many-small-files read-amplification problem, and compaction is
+        a normal scheduled maintenance pass, not a luxury.
+
+        Row content is unchanged, so `read()` (including time-travel
+        prefixes that span the partition) returns identical rows.
+        Crash-safe: each dir is rewritten to a temp sibling and
+        `os.replace`d in (atomic on POSIX); a crash mid-compaction
+        leaves every partition either old or new, both valid.
+        Returns the number of partitions rewritten."""
+        rewritten = 0
+        for k in sorted(self.committed_partitions()):
+            dst = self.path / f"part_id={k}"
+            if not dst.exists():
+                continue
+            n_files = sum(1 for p in dst.iterdir()
+                          if p.suffix == ".parquet")
+            if n_files <= target_files:
+                continue
+            tmp = self.path / f"_compact_tmp_{k}"
+            (spark.read.parquet(str(dst))
+                  .coalesce(target_files)
+                  .write.mode("overwrite").parquet(str(tmp)))
+            old = self.path / f"_compact_old_{k}"
+            os.replace(dst, old)
+            os.replace(tmp, dst)
+            shutil.rmtree(old)
+            rewritten += 1
+        return rewritten
+
+    def vacuum(self) -> List[str]:
+        """Remove orphans — the shim's `remove_orphan_files`: leftover
+        `_wave_tmp` / `_compact_*` staging dirs and any `part_id=k`
+        dir with NO manifest entry (a crash between the data move and
+        the manifest append leaves one; resume rewrites it anyway, but
+        until then it is dead weight readers must not see — and
+        `read()` already ignores it because the manifest is the source
+        of truth).  Returns the removed paths."""
+        removed = []
+        committed = self.committed_partitions()
+        for p in sorted(self.path.iterdir()):
+            name = p.name
+            orphan = (name.startswith("_wave_tmp")
+                      or name.startswith("_compact_"))
+            if name.startswith("part_id="):
+                try:
+                    orphan = int(name.split("=", 1)[1]) not in committed
+                except ValueError:
+                    orphan = True
+            if orphan:
+                shutil.rmtree(p) if p.is_dir() else p.unlink()
+                removed.append(str(p))
+        return removed
+
     # -- read ------------------------------------------------------------------
 
     def read(self, spark, as_of_commit: Optional[int] = None,

@@ -181,3 +181,42 @@ def test_manifest_torn_tail_and_untyped_entities(spark, tmp_path):
     assert len(sink.manifest_entries()) == 2
     # a later commit appends cleanly after the torn line is ignored
     assert sink.run(df, lambda d: d) == 0   # nothing left to do
+
+
+def test_compaction_and_vacuum(spark, tmp_path, pipe):
+    """rewrite_data_files / remove_orphan_files equivalents: compaction
+    shrinks per-partition file counts without changing any row (current
+    AND time-travel reads); vacuum removes staging leftovers and
+    uncommitted partition dirs but never a committed one."""
+    pages = synth_pages(spark, SF_DIR).limit(120).repartition(6)
+    sink = CheckpointedSink(str(tmp_path / "tbl"), n_partitions=N_PARTS)
+    sink.run(pages, pipe, wave_size=N_PARTS)
+    before = _table_rows(spark, sink)
+    asof_before = sorted(
+        tuple(r) for r in sink.read(spark, as_of_commit=1)
+        .select("url", "keep").collect())
+
+    def files(k):
+        d = tmp_path / "tbl" / f"part_id={k}"
+        return [p for p in d.iterdir() if p.suffix == ".parquet"]
+
+    assert any(len(files(k)) > 1 for k in range(N_PARTS))
+    n = sink.compact_partitions(spark, target_files=1)
+    assert n >= 1
+    assert all(len(files(k)) == 1 for k in range(N_PARTS))
+    assert _table_rows(spark, sink) == before
+    asof_after = sorted(
+        tuple(r) for r in sink.read(spark, as_of_commit=1)
+        .select("url", "keep").collect())
+    assert asof_after == asof_before
+    assert sink.compact_partitions(spark) == 0       # idempotent
+
+    # orphans: staging dirs + a partition dir with no manifest entry
+    (tmp_path / "tbl" / "_wave_tmp").mkdir()
+    (tmp_path / "tbl" / "_compact_tmp_9").mkdir()
+    orphan = tmp_path / "tbl" / "part_id=99"
+    shutil.copytree(tmp_path / "tbl" / "part_id=0", orphan)
+    removed = sink.vacuum()
+    assert {p.rsplit("/", 1)[1] for p in removed} == \
+        {"_wave_tmp", "_compact_tmp_9", "part_id=99"}
+    assert _table_rows(spark, sink) == before

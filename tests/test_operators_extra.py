@@ -1100,3 +1100,27 @@ def test_dedup_incremental(spark):
             dedup_incremental(new, arch, jaccard_threshold=0.8,
                               max_bucket=None).collect()}
     assert kept == {3, 5}
+
+
+def test_routed_langid(spark):
+    """Cascade contract: high-margin docs are decided by the SQL
+    scorer and routed 'sql'; ambiguous (mixed/zero-hit) docs route
+    'kernel' and carry the n-gram kernel's prediction; every input doc
+    appears exactly once."""
+    from pii_extract_base_spark.functions.langdata import SEED_WORDS
+    from pii_extract_base_spark.functions.scoring import score_text
+    from pii_extract_base_spark.operators.score import routed_langid
+    easy_fr = " ".join(SEED_WORDS["fr"][:20] * 3)
+    mixed = " ".join(SEED_WORDS["en"][:10] + SEED_WORDS["de"][:10])
+    docs = spark.createDataFrame(
+        [(1, easy_fr), (2, mixed), (3, "zzz qqq unknown tokens"),
+         (4, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           routed_langid(docs, margin_threshold=100_000).collect()}
+    assert len(got) == 4
+    assert (got[1].route, got[1].lang_pred) == ("sql", "fr")
+    for i in (2, 3, 4):
+        assert got[i].route == "kernel", got[i]
+        assert got[i].lang_pred == score_text(
+            {2: mixed, 3: "zzz qqq unknown tokens", 4: ""}[i])[0]
