@@ -877,6 +877,19 @@ def q62_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "n_chars")
 
 
+def q63_ppl_sql(spark, sf_dir):
+    """Declarative KenLM-style perplexity under the en LM
+    (functions/ppl_sql): the relational twin of the kernel's ppl half —
+    per-DISTINCT-word logprob (unigram + char-bigram backoff joined as
+    ~200-row broadcast relations) re-joined to occurrences, per-doc
+    mean. Rounded to 5dp (log2/pow last-ulp noise between engines)."""
+    from pii_extract_base_spark.functions.ppl_sql import ppl_sql
+    docs = _t(spark, sf_dir, "documents")
+    out = ppl_sql(docs, lang="en")
+    return out.select("doc_id", "n_words",
+                      F.round("logppl", 5).alias("logppl"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -958,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_bloom_blocklist": q60_bloom_blocklist,
         "q61_cms_heavy_hitters": q61_cms_heavy_hitters,
         "q62_incremental_dedup": q62_incremental_dedup,
+        "q63_ppl_sql": q63_ppl_sql,
     }
 
 
@@ -992,6 +1006,56 @@ def _lexicon_values() -> str:
     from pii_extract_base_spark.functions.langid_sql import (
         lexicon_values_sql)
     return lexicon_values_sql()
+
+
+def _ppl_oracle(lang: str) -> str:
+    """DuckDB replay of functions/ppl_sql: same LM tables as VALUES
+    literals, same interpolation — the 1-λ weight is embedded via
+    repr() because 1.0-0.4 is NOT the double 0.6, and both engines
+    must multiply by the bit-identical value."""
+    from pii_extract_base_spark.functions.ppl_sql import (
+        BACKOFF_LAMBDA, EMPTY_PPL, LP_NUM, P_FLOOR, UNK_BIGRAM,
+        lm_values_sql)
+    uni_vals, bg_vals = lm_values_sql(lang)
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, lower(unnest({_DUCK_WORDS})) AS word
+            FROM documents
+        ),
+        vocab AS (SELECT DISTINCT word FROM occ),
+        bgs AS (
+            SELECT word,
+                   unnest(list_transform(
+                       range(1, len(' ' || word || ' ')),
+                       i -> substr(' ' || word || ' ', i, 2))) AS bg
+            FROM vocab
+        ),
+        bg_lp AS (
+            SELECT word,
+                   sum(log2(coalesce(p_bg, {UNK_BIGRAM!r}))) / count(*)
+                       AS char_lp
+            FROM bgs LEFT JOIN {bg_vals} USING (bg) GROUP BY word
+        ),
+        word_lp AS (
+            SELECT b.word,
+                   CASE WHEN regexp_matches(b.word, '[0-9]')
+                        THEN {LP_NUM!r}
+                        ELSE log2(greatest(
+                            {(1.0 - BACKOFF_LAMBDA)!r}
+                                * coalesce(p_uni, 0.0)
+                            + {BACKOFF_LAMBDA!r} * pow(2.0, char_lp),
+                            {P_FLOOR!r}))
+                   END AS lp
+            FROM bg_lp b LEFT JOIN {uni_vals} USING (word)
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_words, -avg(lp) AS ppl
+            FROM occ JOIN word_lp USING (word) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+               round(coalesce(ppl, {EMPTY_PPL!r}), 5) AS logppl
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """
 
 
 def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
@@ -1781,6 +1845,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 JOIN s3 USING (doc_id)
         """,
         "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
+        "q63_ppl_sql": _ppl_oracle("en"),
         "q61_cms_heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest({_DUCK_WORDS}) AS token FROM documents

@@ -98,6 +98,9 @@ AUDIT = {
     # incremental dedup: anti-join of batch against loser ids; the
     # banded join is the same capped-window plan as q22
     "q62_incremental_dedup": ["LeftAnti", "Window"],
+    # declarative perplexity: per-DISTINCT-word logprob (broadcast LM
+    # joins) re-joined to occurrences — vocabulary agg + two broadcasts
+    "q63_ppl_sql": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 # patterns that must NOT appear (scale-killers)
@@ -128,6 +131,8 @@ FORBID = {
                               "ArrowEvalPython", "BatchEvalPython"],
     "q62_incremental_dedup": ["CartesianProduct", "SortAggregate",
                               "ArrowEvalPython", "BatchEvalPython"],
+    "q63_ppl_sql": ["ArrowEvalPython", "BatchEvalPython",
+                    "SortAggregate", "CartesianProduct"],
 }
 
 

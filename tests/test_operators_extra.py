@@ -1124,3 +1124,40 @@ def test_routed_langid(spark):
         assert got[i].route == "kernel", got[i]
         assert got[i].lang_pred == score_text(
             {2: mixed, 3: "zzz qqq unknown tokens", 4: ""}[i])[0]
+
+
+def test_ppl_sql_matches_python_formula(spark):
+    """Declarative perplexity == a pure-Python evaluation of the same
+    interpolation over the same LM tables (1e-9 tolerance — both run
+    IEEE doubles, only summation order differs), including the digit
+    bin, unknown-word backoff, and the empty-doc sentinel."""
+    import math
+    from pii_extract_base_spark.functions.ppl_sql import (
+        BACKOFF_LAMBDA, EMPTY_PPL, LP_NUM, P_FLOOR, UNK_BIGRAM, ppl_sql)
+    from pii_extract_base_spark.functions.scoring import (
+        _BIGRAM, _UNIGRAM)
+
+    texts = {1: "the of and to completely unknownword",
+             2: "call 555 0199 now",       # digit bins
+             3: "", 4: None,
+             5: "zzz zzz the the the"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: r for r in ppl_sql(docs, lang="en").collect()}
+
+    def py_lp(w):
+        if any(c.isdigit() for c in w):
+            return LP_NUM
+        tok = f" {w} "
+        clp = sum(math.log2(_BIGRAM["en"].get(tok[i:i + 2], UNK_BIGRAM))
+                  for i in range(len(tok) - 1)) / (len(tok) - 1)
+        p = ((1 - BACKOFF_LAMBDA) * _UNIGRAM["en"].get(w, 0.0)
+             + BACKOFF_LAMBDA * (2.0 ** clp))
+        return math.log2(max(p, P_FLOOR))
+
+    for i, t in texts.items():
+        words = (t or "").lower().split()
+        want = (-sum(py_lp(w) for w in words) / len(words)
+                if words else EMPTY_PPL)
+        assert got[i].n_words == len(words)
+        assert abs(got[i].logppl - want) < 1e-9, (i, got[i].logppl, want)
