@@ -80,8 +80,9 @@ def _decode_png(data: bytes):
     """8-bit non-interlaced PNG via stdlib zlib: IHDR/IDAT chunk walk,
     inflate, per-row unfiltering for all five filter types (0 none,
     1 sub, 2 up, 3 average, 4 paeth). Color types 0 (gray), 2 (RGB),
-    4 (gray+alpha), 6 (RGBA); palette (3), 16-bit and interlaced PNGs
-    raise (production swap-in: PIL). Filters 0/2 unfilter as whole-row
+    4 (gray+alpha), 6 (RGBA), 3 (palette — PLTE lookup to RGB; tRNS
+    transparency ignored); 16-bit and interlaced PNGs raise
+    (production swap-in: PIL). Filters 0/2 unfilter as whole-row
     numpy adds, filter 1 as a per-channel cumulative sum; 3/4 have an
     inherent left-neighbor data dependency and run a per-pixel loop —
     acceptable because they apply only to rows an encoder chose them
@@ -92,13 +93,15 @@ def _decode_png(data: bytes):
     import numpy as np
 
     try:
-        pos, ihdr, idat = len(PNG_MAGIC), None, []
+        pos, ihdr, idat, plte = len(PNG_MAGIC), None, [], None
         while pos + 8 <= len(data):
             length, ctype = struct.unpack_from(">I4s", data, pos)
             if ctype == b"IHDR":
                 ihdr = data[pos + 8:pos + 8 + length]
             elif ctype == b"IDAT":
                 idat.append(data[pos + 8:pos + 8 + length])
+            elif ctype == b"PLTE":
+                plte = data[pos + 8:pos + 8 + length]
             elif ctype == b"IEND":
                 break
             pos += 12 + length
@@ -108,9 +111,12 @@ def _decode_png(data: bytes):
             struct.unpack(">IIBBBBB", ihdr[:13]))
         if depth != 8 or interlace != 0:
             raise ValueError("only 8-bit non-interlaced PNG supported")
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             raise ValueError(f"unsupported PNG color type {color_type}")
+        if color_type == 3 and (plte is None or len(plte) % 3
+                                or not plte):
+            raise ValueError("palette PNG without a valid PLTE chunk")
         raw = zlib.decompress(b"".join(idat))
     except (struct.error, zlib.error, ValueError) as e:
         raise ValueError(f"malformed/unsupported PNG ({e})") from e
@@ -152,6 +158,12 @@ def _decode_png(data: bytes):
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row
     img = out.reshape((h, w, channels))
+    if color_type == 3:                 # palette lookup → RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx]
     return img[:, :, 0] if channels == 1 else img
 
 

@@ -1161,3 +1161,44 @@ def test_ppl_sql_matches_python_formula(spark):
                 if words else EMPTY_PPL)
         assert got[i].n_words == len(words)
         assert abs(got[i].logppl - want) < 1e-9, (i, got[i].logppl, want)
+
+
+def test_real_png_palette_decode():
+    """Color-type-3 PNG: indices unfilter like gray rows, then PLTE
+    lookup expands to RGB; bad palettes (missing, out-of-range index)
+    raise instead of mis-rendering."""
+    import struct
+    import zlib
+
+    from pii_extract_base_spark.operators.multimodal import decode_image
+
+    w, h = 9, 5
+    pal = [(i * 5 % 256, i * 11 % 256, i * 17 % 256) for i in range(16)]
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    idx = [[(x + 2 * y) % 16 for x in range(w)] for y in range(h)]
+    raw = b"".join(bytes([0]) + bytes(r) for r in idx)     # filter 0
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(c) for c in pal)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    img = decode_image(png)
+    assert img.shape == (h, w, 3)
+    for y in (0, 4):
+        for x in (0, 3, 8):
+            assert tuple(img[y, x]) == pal[idx[y][x]]
+
+    no_plte = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(no_plte)
+    short_pal = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                 + chunk(b"PLTE", b"".join(bytes(c) for c in pal[:4]))
+                 + chunk(b"IDAT", zlib.compress(raw))
+                 + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(short_pal)      # index 15 >= 4-entry palette
