@@ -47,8 +47,12 @@ def lexicon_rows() -> List[Tuple[str, str, int]]:
 
 
 def lexicon_values_sql() -> str:
-    """The lexicon as a SQL VALUES literal for the DuckDB oracle."""
-    vals = ", ".join(f"('{lang}', '{word}', {wt})"
+    """The lexicon as a SQL VALUES literal for the DuckDB oracle
+    (single quotes doubled — fr/es stopword lists commonly carry
+    apostrophes like d'un)."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+    vals = ", ".join(f"('{q(lang)}', '{q(word)}', {wt})"
                      for lang, word, wt in lexicon_rows())
     return f"(VALUES {vals}) AS lex(lex_lang, word, wt)"
 
@@ -58,22 +62,31 @@ def lexicon_df(spark: SparkSession) -> DataFrame:
         lexicon_rows(), "lex_lang string, word string, wt long")
 
 
-def stopword_langid(df: DataFrame, text_col: str = "text",
+def doc_lang_scores(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
-    """Per-document prediction: (id, lang_pred, score, n_hits,
-    n_tokens).  Plan: explode tokens -> broadcast hash join on the
-    lexicon -> (id, lang) hash agg (map-side combinable integer sums)
-    -> row_number argmax window partitioned by id -> left join back so
-    zero-hit docs survive as 'und'.  The only shuffles are the (id,
-    lang) aggregate and the per-id window — both on the id key."""
+    """Per-(doc, candidate-lang) integer scores — the shared first
+    stage of `stopword_langid` and `operators.score.routed_langid`
+    (ONE canonical tokenization + weight scheme; don't re-inline it).
+    Plan: explode tokens -> broadcast hash join on the lexicon ->
+    (id, lang) hash agg with map-side-combinable integer sums."""
     spark = df.sparkSession
     toks = (df.select(F.col(id_col),
                       F.explode(words_col(text_col)).alias("word"))
               .withColumn("word", F.lower(F.col("word"))))
-    scores = (toks.join(F.broadcast(lexicon_df(spark)), "word")
-                  .groupBy(id_col, "lex_lang")
-                  .agg(F.sum("wt").alias("score"),
-                       F.count("*").alias("n_hits")))
+    return (toks.join(F.broadcast(lexicon_df(spark)), "word")
+                .groupBy(id_col, "lex_lang")
+                .agg(F.sum("wt").alias("score"),
+                     F.count("*").alias("n_hits")))
+
+
+def stopword_langid(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document prediction: (id, lang_pred, score, n_hits,
+    n_tokens).  doc_lang_scores -> row_number argmax window
+    partitioned by id -> left join back so zero-hit docs survive as
+    'und'.  The only shuffles are the (id, lang) aggregate and the
+    per-id window — both on the id key."""
+    scores = doc_lang_scores(df, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy(F.desc("score"),
                                            F.asc("lex_lang"))
     best = (scores.withColumn("rn", F.row_number().over(w))

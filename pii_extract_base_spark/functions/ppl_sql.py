@@ -112,8 +112,10 @@ def ppl_sql(df: DataFrame, lang: str = "en", text_col: str = "text",
 def lm_values_sql(lang: str) -> Tuple[str, str]:
     """(unigram, bigram) VALUES literals for the DuckDB oracle —
     repr() round-trips doubles exactly, so both engines parse the
-    identical probability."""
-    uni = ", ".join(f"('{w}', {p!r})" for w, p in unigram_rows(lang))
-    bg = ", ".join(f"('{b}', {p!r})" for b, p in bigram_rows(lang))
+    identical probability; single quotes doubled (apostrophe words)."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+    uni = ", ".join(f"('{q(w)}', {p!r})" for w, p in unigram_rows(lang))
+    bg = ", ".join(f"('{q(b)}', {p!r})" for b, p in bigram_rows(lang))
     return (f"(VALUES {uni}) AS uni(word, p_uni)",
             f"(VALUES {bg}) AS bgt(bg, p_bg)")

@@ -51,19 +51,11 @@ def routed_langid(df, text_col: str = "text", id_col: str = "doc_id",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..functions.langid_sql import lexicon_df
+    from ..functions.langid_sql import doc_lang_scores
 
-    spark = df.sparkSession
-    # per-doc (score, margin) from the lexicon join; stopword_langid
-    # recomputed columns would hide the margin, so inline the window
-    toks = (df.select(F.col(id_col),
-                      F.explode_outer(
-                          F.split(F.lower(F.coalesce(F.col(text_col),
-                                                     F.lit(""))),
-                                  r"\s+")).alias("word")))
-    sc = (toks.join(F.broadcast(lexicon_df(spark)), "word")
-              .groupBy(id_col, "lex_lang")
-              .agg(F.sum("wt").alias("score")))
+    # the canonical lexicon scoring (same tokenization + weights as
+    # stopword_langid — shared first stage, not a re-implementation)
+    sc = doc_lang_scores(df, text_col, id_col)
     w = Window.partitionBy(id_col).orderBy(F.desc("score"),
                                            F.asc("lex_lang"))
     ranked = (sc.withColumn("rn", F.row_number().over(w))

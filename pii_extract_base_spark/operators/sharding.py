@@ -51,6 +51,20 @@ def distributed_prefix_sum(df: DataFrame, val_col: str,
     else:
         part = df.repartitionByRange(*order_cols)
     part = part.withColumn("_pid", F.spark_partition_id())
+    # _pid MUST mean the same partition in both consumers below (the
+    # local-cumsum window and the totals aggregate).  Normally Spark's
+    # exchange reuse guarantees that by executing the range shuffle
+    # once — but if reuse is defeated (spark.sql.exchange.reuse=false,
+    # or a plan rewrite breaking canonical matching), each consumer
+    # re-runs the shuffle and RangePartitioner re-SAMPLES boundaries
+    # with a fresh RDD-id seed, so the two sides can disagree near
+    # partition edges and corrupt the sums.  localCheckpoint pins one
+    # materialization both consumers read (lazy: it materializes
+    # inside the first job, not as an extra one).  On a multi-executor
+    # cluster, executor loss invalidates local checkpoints — use a
+    # bucketed/sorted input table (sources/bucketed.py) to get stable
+    # partitioning without the checkpoint instead.
+    part = part.localCheckpoint(eager=False)
 
     local_w = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -269,10 +269,16 @@ class CheckpointedSink:
 
         Row content is unchanged, so `read()` (including time-travel
         prefixes that span the partition) returns identical rows.
-        Crash-safe: each dir is rewritten to a temp sibling and
-        `os.replace`d in (atomic on POSIX); a crash mid-compaction
-        leaves every partition either old or new, both valid.
-        Returns the number of partitions rewritten."""
+        Crash-safe: each dir is rewritten to a temp sibling, the live
+        dir is parked as `_compact_old_k`, the new dir renamed in, the
+        old removed (directory renames are atomic on POSIX; a rename
+        ONTO a non-empty dir is not possible, hence the park step).  A
+        crash between the park and the swap leaves `part_id=k` absent
+        with `_compact_old_k` holding the only copy —
+        `_recover_compaction()` (run here and by `vacuum`) restores it
+        before anything else happens.  Returns the number of
+        partitions rewritten."""
+        self._recover_compaction()
         rewritten = 0
         for k in sorted(self.committed_partitions()):
             dst = self.path / f"part_id={k}"
@@ -293,14 +299,33 @@ class CheckpointedSink:
             rewritten += 1
         return rewritten
 
+    def _recover_compaction(self) -> None:
+        """Roll a crashed compaction forward/back: a `_compact_old_k`
+        whose live dir is MISSING is the sole copy of committed data
+        (crash between park and swap) — restore it; one whose live dir
+        exists is a finished swap's leftover — delete it.  `_compact_
+        tmp_*` is always incomplete output — delete."""
+        for p in sorted(self.path.glob("_compact_old_*")):
+            k = p.name.rsplit("_", 1)[1]
+            dst = self.path / f"part_id={k}"
+            if dst.exists():
+                shutil.rmtree(p)
+            else:
+                os.replace(p, dst)
+        for p in sorted(self.path.glob("_compact_tmp_*")):
+            shutil.rmtree(p)
+
     def vacuum(self) -> List[str]:
         """Remove orphans — the shim's `remove_orphan_files`: leftover
-        `_wave_tmp` / `_compact_*` staging dirs and any `part_id=k`
-        dir with NO manifest entry (a crash between the data move and
-        the manifest append leaves one; resume rewrites it anyway, but
-        until then it is dead weight readers must not see — and
-        `read()` already ignores it because the manifest is the source
-        of truth).  Returns the removed paths."""
+        `_wave_tmp` / `_compact_tmp_*` staging dirs and any
+        `part_id=k` dir with NO manifest entry (a crash between the
+        data move and the manifest append leaves one; resume rewrites
+        it anyway, but until then it is dead weight readers must not
+        see — and `read()` already ignores it because the manifest is
+        the source of truth).  Runs compaction recovery FIRST so a
+        parked `_compact_old_k` backing a missing live dir is restored,
+        never deleted.  Returns the removed paths."""
+        self._recover_compaction()
         removed = []
         committed = self.committed_partitions()
         for p in sorted(self.path.iterdir()):

@@ -217,6 +217,36 @@ def test_compaction_and_vacuum(spark, tmp_path, pipe):
     orphan = tmp_path / "tbl" / "part_id=99"
     shutil.copytree(tmp_path / "tbl" / "part_id=0", orphan)
     removed = sink.vacuum()
+    # _compact_tmp_9 is swept by the recovery pass (always-incomplete
+    # staging), the rest by the orphan sweep
     assert {p.rsplit("/", 1)[1] for p in removed} == \
-        {"_wave_tmp", "_compact_tmp_9", "part_id=99"}
+        {"_wave_tmp", "part_id=99"}
+    assert not (tmp_path / "tbl" / "_compact_tmp_9").exists()
+    assert _table_rows(spark, sink) == before
+
+
+def test_compaction_crash_recovery(spark, tmp_path, pipe):
+    """A crash between the park and swap renames leaves part_id=k
+    missing and _compact_old_k holding the only copy; both vacuum()
+    and a re-run of compact_partitions() must RESTORE it (never delete
+    it), and table rows survive unchanged."""
+    pages = synth_pages(spark, SF_DIR).limit(80).repartition(4)
+    sink = CheckpointedSink(str(tmp_path / "tbl"), n_partitions=2)
+    sink.run(pages, pipe, wave_size=2)
+    before = _table_rows(spark, sink)
+
+    import os
+    live = tmp_path / "tbl" / "part_id=0"
+    parked = tmp_path / "tbl" / "_compact_old_0"
+    os.replace(live, parked)              # simulated mid-compaction crash
+    (tmp_path / "tbl" / "_compact_tmp_0").mkdir()
+    assert not live.exists()
+    removed = sink.vacuum()
+    assert live.exists() and not parked.exists()
+    assert all("_compact_old_0" not in p for p in removed)
+    assert _table_rows(spark, sink) == before
+
+    os.replace(live, parked)              # crash again; recover via compact
+    sink.compact_partitions(spark, target_files=1)
+    assert live.exists() and not parked.exists()
     assert _table_rows(spark, sink) == before
