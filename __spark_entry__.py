@@ -890,6 +890,34 @@ def q63_ppl_sql(spark, sf_dir):
                       F.round("logppl", 5).alias("logppl"))
 
 
+def q64_html_extract(spark, sf_dir):
+    """HTML -> text extraction (functions/htmlextract): the north
+    rule's pages table carries html:binary and the invariant is
+    byte-identical extracted text per url. The extraction chain is
+    pure regexp_replace/replace (one codegen stage inside the scan's
+    projection, no UDF). The driver parquet has no html column, so the
+    plan first RENDERS a deterministic page per doc (escaped text +
+    title/script/style/comment/entity boilerplate) with the same
+    shared expression both engines replay, encodes it to binary (the
+    real column type), then extracts — construction noise must vanish
+    and escaped markup must survive, verified by md5 of the full
+    extracted text."""
+    from pii_extract_base_spark.functions.htmlextract import (
+        extract_pages, render_html)
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.encode(render_html(F.col("doc_id"), F.col("text")),
+                 "UTF-8").alias("html"))
+    out = extract_pages(pages)
+    return out.select(
+        "doc_id",
+        F.length(F.decode(F.col("html"), "UTF-8")).cast("long")
+         .alias("n_chars_html"),
+        F.md5("extracted_text").alias("text_fp"),
+        F.length("extracted_text").cast("long").alias("n_chars_text"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -972,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_cms_heavy_hitters": q61_cms_heavy_hitters,
         "q62_incremental_dedup": q62_incremental_dedup,
         "q63_ppl_sql": q63_ppl_sql,
+        "q64_html_extract": q64_html_extract,
     }
 
 
@@ -1095,6 +1124,8 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from pii_extract_base_spark.functions.quality import rules_duckdb_exprs
+    from pii_extract_base_spark.functions.htmlextract import (
+        html_to_text_sql, render_html_sql)
     from pii_extract_base_spark.operators.similarity import _hyperplanes
 
     words = "list_filter(string_split_regex(coalesce(text,''), '\\s+'), w -> w <> '')"
@@ -1846,6 +1877,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
         "q63_ppl_sql": _ppl_oracle("en"),
+        "q64_html_extract": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       encode({render_html_sql("doc_id",
+                                               "coalesce(text, '')")})
+                           AS html
+                FROM documents
+            ),
+            dec AS (
+                SELECT doc_id, decode(html) AS h FROM pages
+            ),
+            ext AS (
+                SELECT doc_id, h, {html_to_text_sql("h")} AS t FROM dec
+            )
+            SELECT doc_id,
+                   length(h) AS n_chars_html,
+                   md5(t) AS text_fp,
+                   length(t) AS n_chars_text
+            FROM ext
+        """,
         "q61_cms_heavy_hitters": f"""
             WITH toks AS (
                 SELECT unnest({_DUCK_WORDS}) AS token FROM documents
