@@ -48,11 +48,13 @@ class QualityPipeline:
     def __init__(self, languages: Iterable[str] = DEFAULT_LANGUAGES,
                  config_json: Optional[str] = None,
                  salt_partitions: Optional[int] = None,
-                 fused: bool = True):
+                 fused: bool = True,
+                 from_html: bool = False):
         self.languages = tuple(languages)
         self.config_json = config_json
         self.salt_partitions = salt_partitions
         self.fused = fused
+        self.from_html = from_html
         if fused:
             from .operators.detect import make_fused_udf
             self._fused_udf = make_fused_udf(self.languages, config_json)
@@ -62,6 +64,17 @@ class QualityPipeline:
 
     def __call__(self, pages: DataFrame) -> DataFrame:
         df = pages
+        if self.from_html and "html" in df.columns:
+            # ingestion backfill: rows whose text is NULL get the
+            # native HTML->text chain over the binary column
+            # (functions/htmlextract — codegen, no UDF). Backfill
+            # only: extraction collapses whitespace, and the Gopher
+            # line-ratio rules need the source text's line structure.
+            from .functions.htmlextract import html_to_text
+            df = df.withColumn(
+                "text",
+                F.coalesce(F.col("text"),
+                           html_to_text(F.decode(F.col("html"), "UTF-8"))))
         if self.salt_partitions:
             df = salted_repartition(df, "url", self.salt_partitions)
 

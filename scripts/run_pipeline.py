@@ -40,6 +40,9 @@ def main() -> int:
     ap.add_argument("--dedup", action="store_true",
                     help="corpus dedup (exact md5 + banded-MinHash near "
                          "dups, keep-first by url) before the pipeline")
+    ap.add_argument("--from-html", action="store_true",
+                    help="backfill NULL text from the html binary column "
+                         "(native HTML->text chain, no UDF)")
     args = ap.parse_args()
 
     from pii_extract_base_spark.config import get_spark
@@ -63,7 +66,8 @@ def main() -> int:
         from pii_extract_base_spark.operators.dedup import dedup_corpus
         pages = dedup_corpus(pages, text_col="text", id_col="url")
 
-    pipe = QualityPipeline(tuple(args.languages.split(",")))
+    pipe = QualityPipeline(tuple(args.languages.split(",")),
+                           from_html=args.from_html)
 
     if args.checkpoint:
         from pii_extract_base_spark.sinks.checkpoint import CheckpointedSink

@@ -77,6 +77,27 @@ def test_sql_rendering_parity(spark):
         assert got == want, (html, got, want)
 
 
+def test_pipeline_from_html_backfill(spark):
+    """QualityPipeline(from_html=True): rows with NULL text get the
+    extracted html text; rows with text keep it untouched."""
+    from pii_extract_base_spark.pipeline import QualityPipeline
+    pages = synth_pages(spark, SF_DIR).limit(20)
+    nulled = pages.withColumn(
+        "text", F.when(F.crc32("url") % 2 == 0, F.col("text")))
+    out = QualityPipeline(("en",), from_html=True)(nulled)
+    rows = out.select("url", "text").collect()
+    src = {r["url"]: r["text"] for r in pages.collect()}
+    n_backfilled = 0
+    for r in rows:
+        assert r["text"] is not None
+        want_src = src[r["url"]]
+        if r["text"] == want_src:
+            continue
+        n_backfilled += 1
+        assert r["text"] == " ".join(want_src.split())
+    assert n_backfilled > 0
+
+
 def test_extraction_plan_is_native(spark):
     """The chain must stay JVM-side: no Python eval node, and the
     expressions live inside the scan's projection (one codegen stage —
