@@ -918,6 +918,79 @@ def q64_html_extract(spark, sf_dir):
         F.length("extracted_text").cast("long").alias("n_chars_text"))
 
 
+def _host_edges(spark, sf_dir):
+    """Host-level link graph off the rendered pages: extract anchor
+    hrefs (native regexp_extract_all), parse hosts, aggregate edge
+    weights. Shared by q65 (the edge table) and q66 (PageRank)."""
+    from pii_extract_base_spark.functions.htmlextract import (
+        extract_links, host_of, render_html)
+    docs = _t(spark, sf_dir, "documents")
+    html = render_html(F.col("doc_id"), F.col("text"))
+    src_host = F.concat(F.lit("site"), (F.col("doc_id") % 97).cast("string"),
+                        F.lit(".example"))
+    return (docs.select(src_host.alias("src_host"),
+                        F.explode(extract_links(html)).alias("href"))
+                .groupBy("src_host",
+                         host_of(F.col("href")).alias("dst_host"))
+                .agg(F.count("*").cast("long").alias("n_links")))
+
+
+_HOST_EDGES_SQL_BODY = """
+            SELECT 'site' || (doc_id %% 97)::VARCHAR || '.example'
+                       AS src_host,
+                   %(host)s AS dst_host,
+                   count(*)::BIGINT AS n_links
+            FROM (
+                SELECT doc_id, unnest(%(links)s) AS href FROM documents
+            )
+            GROUP BY src_host, dst_host"""
+
+
+def _host_edges_sql() -> str:
+    """DuckDB replay of _host_edges (q65)."""
+    from pii_extract_base_spark.functions.htmlextract import (
+        extract_links_sql, host_of_sql, render_html_sql)
+    html = render_html_sql("doc_id", "coalesce(text, '')")
+    return _HOST_EDGES_SQL_BODY % {
+        "host": host_of_sql("href"),
+        "links": extract_links_sql(html),
+    }
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB replay of q66: unrolled PageRank rounds over the q65
+    edge replay (operators/graph.pagerank_oracle_sql)."""
+    from pii_extract_base_spark.operators.graph import pagerank_oracle_sql
+    edges_cte = (f"SELECT src_host AS s, dst_host AS t, n_links AS w "
+                 f"FROM ({_host_edges_sql()})")
+    inner = pagerank_oracle_sql(edges_cte, iters=8)
+    return (f"SELECT node AS host, round(rank, 6) AS rank "
+            f"FROM ({inner})")
+
+
+def q65_link_hosts(spark, sf_dir):
+    """Web link-graph construction (functions/htmlextract): anchor
+    hrefs out of raw page HTML via one native regexp_extract_all pass
+    (zero UDFs), host parse, host->host edge aggregation — the first
+    step of every web-graph computation (PageRank, spam propagation,
+    domain authority) at crawl scale."""
+    return _host_edges(spark, sf_dir)
+
+
+def q66_pagerank(spark, sf_dir):
+    """Distributed PageRank over the q65 host graph (operators/graph
+    .pagerank): fixed 8 damped iterations, weighted edges, dangling
+    mass redistributed; one shuffle per round over the pre-normalized
+    edge relation, N and dangling mass as broadcast scalars, per-round
+    rank quantization so both engines land on identical doubles."""
+    from pii_extract_base_spark.operators.graph import pagerank
+    edges = _host_edges(spark, sf_dir)
+    pr = pagerank(edges, src="src_host", dst="dst_host",
+                  weight="n_links", iters=8)
+    return pr.select(F.col("node").alias("host"),
+                     F.round("rank", 6).alias("rank"))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1001,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_incremental_dedup": q62_incremental_dedup,
         "q63_ppl_sql": q63_ppl_sql,
         "q64_html_extract": q64_html_extract,
+        "q65_link_hosts": q65_link_hosts,
+        "q66_pagerank": q66_pagerank,
     }
 
 
@@ -1877,6 +1952,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q55_kmeans_clusters": _kmeans_oracle(k=4, iters=2, dim=64),
         "q63_ppl_sql": _ppl_oracle("en"),
+        "q65_link_hosts": _host_edges_sql(),
+        "q66_pagerank": _pagerank_oracle(),
         "q64_html_extract": f"""
             WITH pages AS (
                 SELECT doc_id,

@@ -93,6 +93,30 @@ def html_to_text_sql(expr: str) -> str:
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
 
 
+# anchor hrefs (double-quoted, the form the renderer emits); group 1
+LINK_RE = r'<a[^>]*\shref="([^"]+)"'
+# host part of an absolute scheme://host/... url; group 1
+HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+def extract_links(col: Column) -> Column:
+    """array<string> of anchor hrefs in an HTML string column."""
+    return F.regexp_extract_all(col, F.lit(LINK_RE), 1)
+
+
+def extract_links_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, '{LINK_RE}', 1)"
+
+
+def host_of(col: Column) -> Column:
+    """Host part of an absolute URL column ('' when not absolute)."""
+    return F.regexp_extract(col, HOST_RE, 1)
+
+
+def host_of_sql(expr: str) -> str:
+    return f"regexp_extract({expr}, '{HOST_RE}', 1)"
+
+
 def extract_pages(df: DataFrame, html_col: str = "html",
                   out_col: str = "extracted_text") -> DataFrame:
     """Extraction stage over the pages table (``html`` is binary).
@@ -129,7 +153,18 @@ def render_html(doc_id: Column, text: Column) -> Column:
         F.lit(" { color: #333; }</style></head><body><!-- render "), sid,
         F.lit(" --><h1 class=\"hd\">Doc "), sid,
         F.lit("</h1><p class=\"main\">"), esc,
-        F.lit("</p><div id=\"ft\">&quot;fin&quot; &amp;"
+        F.lit("</p><ul class=\"nav\">"),
+        # deterministic outlinks -> the q65/q66 host link graph
+        F.lit("<a href=\"https://site"),
+        ((doc_id * 7 + 13) % 97).cast("string"),
+        F.lit(".example/p1\">more 1</a>"),
+        F.lit("<a href=\"https://site"),
+        ((doc_id * 7 + 26) % 97).cast("string"),
+        F.lit(".example/p2\">more 2</a>"),
+        F.lit("<a href=\"https://site"),
+        ((doc_id * 7 + 39) % 97).cast("string"),
+        F.lit(".example/p3\">more 3</a>"),
+        F.lit("</ul><div id=\"ft\">&quot;fin&quot; &amp;"
               "&nbsp;&copy; 2024 &lt;end&gt;</div></body></html>"),
     )
 
@@ -147,6 +182,13 @@ def render_html_sql(doc_id: str, text: str) -> str:
         f"' {{ color: #333; }}</style></head><body><!-- render ' || {sid} || "
         f"' --><h1 class=\"hd\">Doc ' || {sid} || "
         f"'</h1><p class=\"main\">' || {esc} || "
-        f"'</p><div id=\"ft\">&quot;fin&quot; &amp;"
+        f"'</p><ul class=\"nav\">' || "
+        f"'<a href=\"https://site' || ((({doc_id}) * 7 + 13) % 97)::VARCHAR"
+        f" || '.example/p1\">more 1</a>' || "
+        f"'<a href=\"https://site' || ((({doc_id}) * 7 + 26) % 97)::VARCHAR"
+        f" || '.example/p2\">more 2</a>' || "
+        f"'<a href=\"https://site' || ((({doc_id}) * 7 + 39) % 97)::VARCHAR"
+        f" || '.example/p3\">more 3</a>' || "
+        f"'</ul><div id=\"ft\">&quot;fin&quot; &amp;"
         f"&nbsp;&copy; 2024 &lt;end&gt;</div></body></html>'"
     )

@@ -95,6 +95,108 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return members.union(roots)
 
 
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str = None, iters: int = 8,
+             damping: float = 0.85, quant: int = 10) -> DataFrame:
+    """Weighted PageRank over an edge relation, fixed iteration count.
+
+    (node, rank) for every node appearing as src or dst.  Per
+    iteration: rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/outdeg(u)
+    + dangling_mass/N), the standard dangling-node redistribution.
+
+    Scale shape: the loop body is ONE shuffle (join ranks to the
+    pre-normalized edge relation + hash aggregate on dst) plus a 1-row
+    broadcast scalar for the dangling mass — node payloads never enter
+    the loop, N is a broadcast scalar (no driver .count()), and lineage
+    is truncated per round with an eager localCheckpoint, exactly like
+    `connected_components`.  Fixed ``iters`` (no convergence action)
+    keeps the operator engine-replayable: ranks are quantized to
+    ``quant`` decimals after every round so partial-aggregation
+    summation order cannot drift across engines or runs.
+
+    The reference has no graph surface; this is the beyond-reference
+    web-graph family (host link graph from `extract_links`, q65/q66).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"),
+                     (F.col(weight) if weight else F.lit(1))
+                     .cast("double").alias("w"))
+    nodes = (e.select(F.col("s").alias("node"))
+              .union(e.select(F.col("t").alias("node")))
+              .distinct().localCheckpoint())
+    ncnt = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = e.groupBy("s").agg(F.sum("w").alias("deg"))
+    # static per-edge fraction w/outdeg — computed once, reused every round
+    en = (e.join(deg, "s")
+           .select("s", "t", (F.col("w") / F.col("deg")).alias("frac"))
+           .localCheckpoint())
+    has_out = deg.select(F.col("s").alias("node"))
+    teleport = 1.0 - damping     # bind the double ONCE; oracle inlines repr()
+
+    ranks = (nodes.crossJoin(F.broadcast(ncnt))
+                  .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+                  .localCheckpoint())
+    for _ in range(iters):
+        contrib = (en.join(ranks, en["s"] == ranks["node"])
+                     .groupBy("t")
+                     .agg(F.sum(F.col("rank") * F.col("frac")).alias("c")))
+        dang = (ranks.join(has_out, "node", "left_anti")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
+        ranks = (nodes
+                 .join(contrib, nodes["node"] == contrib["t"], "left")
+                 .crossJoin(F.broadcast(dang))
+                 .crossJoin(F.broadcast(ncnt))
+                 .select(
+                     "node",
+                     F.round(
+                         F.lit(teleport) / F.col("n")
+                         + F.lit(damping)
+                         * (F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.col("dm") / F.col("n")),
+                         quant).alias("rank"))
+                 .localCheckpoint())
+    return ranks
+
+
+def pagerank_oracle_sql(edges_cte: str, iters: int = 8,
+                        damping: float = 0.85, quant: int = 10) -> str:
+    """DuckDB replay of `pagerank` as unrolled CTE rounds.
+
+    ``edges_cte`` must select columns (s, t, w).  Doubles are inlined
+    via repr() (round-trips exactly) and every arithmetic step mirrors
+    the Spark expression's shape and association order; ::DOUBLE casts
+    keep DuckDB out of DECIMAL arithmetic.
+    """
+    d, tp = repr(float(damping)), repr(1.0 - damping)
+    ctes = [
+        f"e AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT s AS node FROM e "
+        "UNION SELECT DISTINCT t FROM e)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "deg AS (SELECT s, sum(w::DOUBLE) AS deg FROM e GROUP BY s)",
+        "en AS (SELECT e.s, e.t, e.w::DOUBLE / deg.deg AS frac "
+        "FROM e JOIN deg USING (s))",
+        "r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(f"""r{i} AS (
+            SELECT nodes.node,
+                   round(({tp})::DOUBLE / nn.n + ({d})::DOUBLE *
+                         (coalesce(c.c, 0.0::DOUBLE) + dg.dm / nn.n),
+                         {quant}) AS rank
+            FROM nodes
+            LEFT JOIN (SELECT en.t, sum(r.rank * en.frac) AS c
+                       FROM en JOIN {p} r ON en.s = r.node
+                       GROUP BY en.t) c ON nodes.node = c.t,
+                 nn,
+                 (SELECT coalesce(sum(r.rank), 0.0::DOUBLE) AS dm
+                  FROM {p} r LEFT JOIN deg ON r.node = deg.s
+                  WHERE deg.s IS NULL) dg
+        )""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank FROM r{iters}")
+
+
 def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                  keep_col: str = "is_canonical") -> DataFrame:
     """Join cluster labels back onto the corpus: every doc in a

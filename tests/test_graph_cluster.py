@@ -167,3 +167,68 @@ def test_repetition_signals_short_doc_dropped(spark):
                                "doc_id long, text string")
     got = {r["doc_id"] for r in repetition_signals(df).collect()}
     assert got == {1}    # doc 0 has no 2-grams; inner join drops it
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.pagerank)
+
+def _numpy_pagerank(edges, iters=8, d=0.85, quant=10):
+    """Dense power-iteration reference with the same quantization and
+    dangling-mass rule as the operator."""
+    nodes = sorted({u for u, v, w in edges} | {v for u, v, w in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = Counter()
+    for u, v, w in edges:
+        outdeg[u] += w
+    r = [1.0 / N] * N
+    for _ in range(iters):
+        contrib = [0.0] * N
+        for u, v, w in edges:
+            contrib[idx[v]] += r[idx[u]] * (w / outdeg[u])
+        dang = sum(r[idx[n]] for n in nodes if outdeg[n] == 0)
+        r = [round((1 - d) / N + d * (contrib[i] + dang / N), quant)
+             for i in range(N)]
+    return dict(zip(nodes, r))
+
+
+def _run_pagerank(spark, edges, **kw):
+    from pii_extract_base_spark.operators.graph import pagerank
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    out = pagerank(df, src="src", dst="dst", weight="w", **kw)
+    return {r["node"]: r["rank"] for r in out.collect()}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    import random
+    rng = random.Random(7)
+    edges = list({(rng.randrange(12), rng.randrange(12))
+                  for _ in range(40)})
+    edges = [(u, v, float(rng.randint(1, 3)))
+             for u, v in edges if u != v]
+    got = _run_pagerank(spark, edges)
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+    assert abs(sum(got.values()) - 1.0) < 1e-6     # mass conserved
+
+
+def test_pagerank_ring_is_uniform(spark):
+    n = 6
+    edges = [(i, (i + 1) % n, 1.0) for i in range(n)]
+    got = _run_pagerank(spark, edges, iters=5)
+    for v in got.values():
+        assert abs(v - 1.0 / n) < 1e-9             # symmetric fixed point
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 0 -> 1 -> 2, node 2 dangles; without redistribution total mass
+    # leaks every round
+    edges = [(0, 1, 1.0), (1, 2, 1.0)]
+    got = _run_pagerank(spark, edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[2] > got[1] > 0                     # chain accumulates
+    want = _numpy_pagerank(edges)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9

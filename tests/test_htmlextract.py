@@ -98,6 +98,25 @@ def test_pipeline_from_html_backfill(spark):
     assert n_backfilled > 0
 
 
+def test_extract_links_and_hosts(spark):
+    """Anchor extraction off the rendered page yields exactly the three
+    deterministic outlink hosts; host parse handles the edge forms."""
+    from pii_extract_base_spark.functions.htmlextract import (
+        extract_links, host_of, render_html)
+    df = spark.createDataFrame([(5, "hello world")], "doc_id long, t string")
+    row = df.select(
+        extract_links(render_html(F.col("doc_id"), F.col("t")))
+        .alias("links")).collect()[0]
+    want = [f"https://site{(5 * 7 + j * 13) % 97}.example/p{j}"
+            for j in (1, 2, 3)]
+    assert row["links"] == want
+    hosts = spark.createDataFrame(
+        [("https://a.b/x",), ("http://h/",), ("ftp://f.q/z",),
+         ("/relative/path",), ("mailto:x@y",)], "u string")
+    got = [r[0] for r in hosts.select(host_of(F.col("u"))).collect()]
+    assert got == ["a.b", "h", "f.q", "", ""]
+
+
 def test_extraction_plan_is_native(spark):
     """The chain must stay JVM-side: no Python eval node, and the
     expressions live inside the scan's projection (one codegen stage —
