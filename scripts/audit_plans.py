@@ -101,6 +101,15 @@ AUDIT = {
     # declarative perplexity: per-DISTINCT-word logprob (broadcast LM
     # joins) re-joined to occurrences — vocabulary agg + two broadcasts
     "q63_ppl_sql": ["BroadcastHashJoin", "HashAggregate"],
+    # html->text extraction: render + extract are ONE projection over
+    # the scan (regexp chain in codegen; no exchange, no Python)
+    "q64_html_extract": ["Project", "Batched: true"],
+    # link graph: regexp_extract_all + explode (Generate) + edge agg
+    "q65_link_hosts": ["Generate", "HashAggregate"],
+    # q66 (pagerank) is an iterative fixed-count loop — like q53, every
+    # round is localCheckpoint-materialized, so a static explain shows
+    # only the final checkpoint scan; its per-round body is a hash
+    # join + HashAggregate over the q65-audited edge relation.
 }
 
 # patterns that must NOT appear (scale-killers)
@@ -127,6 +136,9 @@ FORBID = {
     "q59_token_shards": ["ArrowEvalPython", "BatchEvalPython"],
     "q60_bloom_blocklist": ["CartesianProduct", "SortMergeJoin",
                             "ArrowEvalPython", "BatchEvalPython"],
+    "q64_html_extract": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "q65_link_hosts": ["SortAggregate", "ArrowEvalPython",
+                       "BatchEvalPython"],
     "q61_cms_heavy_hitters": ["CartesianProduct", "SortAggregate",
                               "ArrowEvalPython", "BatchEvalPython"],
     "q62_incremental_dedup": ["CartesianProduct", "SortAggregate",
