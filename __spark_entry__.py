@@ -991,6 +991,120 @@ def q66_pagerank(spark, sf_dir):
                      F.round("rank", 6).alias("rank"))
 
 
+_LR_XS = ["x1", "x2", "x3", "x4"]
+_LR_ITERS, _LR_RATE, _LR_QUANT = 24, 8.0, 8
+_LR_MIN_WORDS = 40     # stricter keep gate than Gopher's MIN_WORDS=15
+
+
+def _lr_feats(spark, sf_dir):
+    """Quality-classifier training table: four bounded document
+    signals (length, word count, symbol density, mean word length)
+    plus the Gopher-rule conjunction as the 0/1 label. All expressions
+    are native and mirrored verbatim in the DuckDB replay."""
+    from pii_extract_base_spark.functions.quality import (
+        SYMBOL_CHARS, rules_columns)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    wc = F.size(words)
+    n_chars = F.length(t)
+    sym = n_chars - F.length(F.translate(t, SYMBOL_CHARS, ""))
+    mean_wl = F.when(
+        wc > 0,
+        F.aggregate(words, F.lit(0).cast("double"),
+                    lambda a, w: a + F.length(w)) / wc
+    ).otherwise(F.lit(0.0))
+    # label: a STRICTER keep gate than the corpus was built to pass —
+    # the Gopher-rule conjunction with the word-count floor raised to
+    # _LR_MIN_WORDS and without the stopword gate (the synthetic
+    # document lexicon has no natural-language stopwords, so
+    # r_stopwords is constantly false there and would collapse the
+    # label to one class; likewise every doc passes MIN_WORDS=15).
+    # This leaves a ~2:1 class split the trainer actually has to learn.
+    y = (wc >= _LR_MIN_WORDS) & (wc <= 100_000)
+    for name, c in rules_columns("text", "lang").items():
+        if name in ("r_stopwords", "r_word_count"):
+            continue
+        y = y & c
+    return docs.select(
+        (F.least(n_chars, F.lit(3000)) / F.lit(3000.0)).alias("x1"),
+        (F.least(wc, F.lit(400)) / F.lit(400.0)).alias("x2"),
+        F.when(n_chars > 0, sym.cast("double") / n_chars)
+         .otherwise(F.lit(0.0)).alias("x3"),
+        (mean_wl / F.lit(12.0)).alias("x4"),
+        y.alias("y"))
+
+
+def _lr_feats_sql() -> str:
+    """DuckDB mirror of _lr_feats (x1..x4, y as 0/1)."""
+    from pii_extract_base_spark.functions.quality import rules_duckdb_exprs
+    t = "coalesce(text, '')"
+    words = (f"list_filter(string_split_regex({t}, '\\s+'), "
+             f"w -> w <> '')")
+    wc = f"len({words})"
+    sym = (f"length(regexp_replace({t}, "
+           f"'[^#{{}}<>\\[\\]|\\\\^~]+', '', 'g'))")
+    mean_wl = (f"(case when {wc} > 0 then "
+               f"list_sum(list_transform({words}, w -> length(w)))::DOUBLE"
+               f" / {wc} else 0.0::DOUBLE end)")
+    y = (f"({wc} >= {_LR_MIN_WORDS} AND {wc} <= 100000 AND "
+         + " AND ".join(
+             expr for name, expr in
+             rules_duckdb_exprs("text", "lang").items()
+             if name not in ("r_stopwords", "r_word_count")) + ")")
+    return f"""
+        SELECT least(length({t}), 3000) / (3000.0)::DOUBLE AS x1,
+               least({wc}, 400) / (400.0)::DOUBLE AS x2,
+               (case when length({t}) > 0 then
+                   {sym}::DOUBLE / length({t})
+                else 0.0::DOUBLE end) AS x3,
+               {mean_wl} / (12.0)::DOUBLE AS x4,
+               CASE WHEN {y} THEN 1 ELSE 0 END AS y
+        FROM documents"""
+
+
+def _logreg_oracle() -> str:
+    from pii_extract_base_spark.operators.lr import logreg_oracle_sql
+    k = len(_LR_XS)
+    last = f"w{_LR_ITERS}_"
+    z = "w0" + "".join(f" + w{i + 1}*x{i + 1}" for i in range(k))
+    weight_cols = ", ".join(
+        f"round(w{i}, 6) AS w{i}" for i in range(k + 1))
+    final = f"""SELECT (SELECT count(*) FROM feats)::BIGINT AS n_docs,
+               round((SELECT avg(CASE WHEN
+                     ((1.0::DOUBLE/(1.0::DOUBLE + exp(-({z})))) >=
+                      0.5::DOUBLE) = (y = 1)
+                     THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+                  FROM feats, {last}), 6) AS accuracy,
+               {weight_cols}
+        FROM {last}"""
+    return logreg_oracle_sql(_lr_feats_sql(), k, iters=_LR_ITERS,
+                             lr=_LR_RATE, quant=_LR_QUANT,
+                             final_select=final)
+
+
+def q67_logreg_quality(spark, sf_dir):
+    """Distributed logistic regression (operators/lr): full-batch GD
+    quality classifier fit on four native document signals against the
+    Gopher-rule keep label — the engine-native analogue of fastText's
+    linear classifier (north-star N1). 12 quantized rounds, each one
+    scan + one k+1-scalar aggregate; weights are plan literals
+    (codegen sigmoid, no UDF). Returns the fitted weights + training
+    accuracy; the DuckDB oracle replays every round as unrolled CTEs."""
+    from pii_extract_base_spark.operators.lr import (
+        logreg_predict, logreg_train)
+    feats = _lr_feats(spark, sf_dir)
+    w = logreg_train(feats, _LR_XS, "y", iters=_LR_ITERS,
+                     lr=_LR_RATE, quant=_LR_QUANT)
+    res = (logreg_predict(feats, _LR_XS, w)
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg(F.when(F.col("pred") == F.col("y"), 1.0)
+                               .otherwise(0.0)), 6).alias("accuracy")))
+    for i, wi in enumerate(w):
+        res = res.withColumn(f"w{i}", F.round(F.lit(wi), 6))
+    return res
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1076,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_html_extract": q64_html_extract,
         "q65_link_hosts": q65_link_hosts,
         "q66_pagerank": q66_pagerank,
+        "q67_logreg_quality": q67_logreg_quality,
     }
 
 
@@ -1954,6 +2069,7 @@ def oracle_sql() -> dict[str, str]:
         "q63_ppl_sql": _ppl_oracle("en"),
         "q65_link_hosts": _host_edges_sql(),
         "q66_pagerank": _pagerank_oracle(),
+        "q67_logreg_quality": _logreg_oracle(),
         "q64_html_extract": f"""
             WITH pages AS (
                 SELECT doc_id,

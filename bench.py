@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q57_langid_sql",
     "q58_span_dedup",
     "q60_bloom_blocklist",
+    "q64_html_extract",
+    "q66_pagerank",
 ]
 
 

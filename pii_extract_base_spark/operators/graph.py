@@ -168,18 +168,18 @@ def pagerank_oracle_sql(edges_cte: str, iters: int = 8,
     """
     d, tp = repr(float(damping)), repr(1.0 - damping)
     ctes = [
-        f"e AS ({edges_cte})",
+        f"e AS MATERIALIZED ({edges_cte})",
         "nodes AS (SELECT DISTINCT s AS node FROM e "
         "UNION SELECT DISTINCT t FROM e)",
         "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
         "deg AS (SELECT s, sum(w::DOUBLE) AS deg FROM e GROUP BY s)",
         "en AS (SELECT e.s, e.t, e.w::DOUBLE / deg.deg AS frac "
         "FROM e JOIN deg USING (s))",
-        "r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes, nn)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS rank FROM nodes, nn)",
     ]
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
-        ctes.append(f"""r{i} AS (
+        ctes.append(f"""r{i} AS MATERIALIZED (
             SELECT nodes.node,
                    round(({tp})::DOUBLE / nn.n + ({d})::DOUBLE *
                          (coalesce(c.c, 0.0::DOUBLE) + dg.dm / nn.n),

@@ -1,0 +1,139 @@
+"""Distributed logistic regression (batch gradient descent) — the
+trainer behind a fastText-style linear quality classifier (north-star
+stage N1 names "a linear classifier"; this is the from-scratch,
+engine-native way to fit one on corpus-derived features).
+
+Spark-first shape (the same iterative-ML driver-loop contract as
+`operators/cluster.kmeans`):
+
+ - The feature relation is materialized ONCE (localCheckpoint; persist
+   on a real cluster) — every GD round then costs one scan + one
+   map-side-combinable aggregation to k+1 gradient sums.  Only k+1
+   scalars ever reach the driver per round, never rows.
+ - The weight vector is broadcast state inlined as plan literals, so
+   the sigmoid + gradient expressions run entirely inside
+   WholeStageCodegen — no UDF, no Python crossing, no shuffle beyond
+   the k+1-column partial-aggregate exchange.
+ - Determinism/replayability: weights update on the driver as
+   ``round(w - lr * grad_i / n, quant)`` — quantizing per round makes
+   the whole trajectory reproducible across runs, partitionings, AND
+   engines (the driver's DuckDB oracle replays every round as an
+   unrolled CTE; sub-quantum float drift from summation order cannot
+   escape a round).  z is built in explicit left-fold order for the
+   same reason.
+
+At 1e12-doc scale: iters × (feature-table scan + tiny agg) — the
+standard batch-GD profile; minibatching would swap the scan for a
+deterministic `sampling.stratified_sample` slice.
+"""
+
+import math
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _z_col(w: Sequence[float], feature_cols: Sequence[str]):
+    """w0 + w1*x1 + … in explicit left-fold order (replay contract)."""
+    z = F.lit(float(w[0]))
+    for i, c in enumerate(feature_cols):
+        z = z + F.lit(float(w[i + 1])) * F.col(c)
+    return z
+
+
+def logreg_train(df: DataFrame, feature_cols: Sequence[str],
+                 label_col: str = "y", iters: int = 12,
+                 lr: float = 2.0, quant: int = 8) -> List[float]:
+    """Fit weights [w0(bias), w1..wk] by full-batch GD from zeros.
+
+    ``label_col`` must be 0/1-valued (booleans are cast).  Returns the
+    quantized weight trajectory's final point.
+    """
+    k = len(feature_cols)
+    X = (df.select(*[F.col(c).cast("double").alias(c)
+                     for c in feature_cols],
+                   F.col(label_col).cast("double").alias("_y"))
+           .localCheckpoint())
+    n = float(X.count())
+    if n == 0:
+        raise ValueError("empty training input")
+    w = [0.0] * (k + 1)
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_col(w, feature_cols)))
+        err = p - F.col("_y")
+        aggs = [F.sum(err).alias("g0")]
+        aggs += [F.sum(err * F.col(c)).alias(f"g{i + 1}")
+                 for i, c in enumerate(feature_cols)]
+        g = X.agg(*aggs).collect()[0]
+        w = [round(w[i] - lr * (float(g[f"g{i}"]) / n), quant)
+             for i in range(k + 1)]
+    return w
+
+
+def logreg_predict(df: DataFrame, feature_cols: Sequence[str],
+                   w: Sequence[float], out_col: str = "pred",
+                   prob_col: str = None) -> DataFrame:
+    """Score with fitted weights: pure projection (codegen, no UDF)."""
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_col(w, feature_cols)))
+    out = df.withColumn(out_col, p >= F.lit(0.5))
+    if prob_col:
+        out = out.withColumn(prob_col, p)
+    return out
+
+
+def logreg_python(rows, k: int, iters: int = 12, lr: float = 2.0,
+                  quant: int = 8) -> List[float]:
+    """Pure-Python GD reference (tests): rows = [(x1..xk, y), ...]."""
+    n = float(len(rows))
+    w = [0.0] * (k + 1)
+    for _ in range(iters):
+        g = [0.0] * (k + 1)
+        for r in rows:
+            z = w[0]
+            for i in range(k):
+                z = z + w[i + 1] * r[i]
+            p = 1.0 / (1.0 + math.exp(-z))
+            e = p - r[k]
+            g[0] += e
+            for i in range(k):
+                g[i + 1] += e * r[i]
+        w = [round(w[i] - lr * (g[i] / n), quant) for i in range(k + 1)]
+    return w
+
+
+def logreg_oracle_sql(feats_cte: str, k: int, iters: int = 12,
+                      lr: float = 2.0, quant: int = 8,
+                      final_select: str = None) -> str:
+    """DuckDB replay of `logreg_train` as unrolled CTE rounds.
+
+    ``feats_cte`` must select columns x1..xk and y (0/1).  Returns a
+    WITH…SELECT whose final relation is one row of columns w0..wk —
+    every arithmetic step mirrors the Spark/driver expressions' shape
+    and association order; ::DOUBLE casts keep DuckDB out of DECIMAL
+    arithmetic.  ``final_select`` overrides the trailing SELECT (it may
+    reference ``feats``, ``nn`` and any ``w{r}_`` CTE — e.g. to score
+    accuracy with the final weights).
+    """
+    lrr = repr(float(lr))
+    xs = [f"x{i}" for i in range(1, k + 1)]
+    ctes = [
+        f"feats AS MATERIALIZED ({feats_cte})",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM feats)",
+        "w0_ AS MATERIALIZED (SELECT " + ", ".join(
+            f"0.0::DOUBLE AS w{i}" for i in range(k + 1)) + ")",
+    ]
+    for r in range(1, iters + 1):
+        z = "w0" + "".join(f" + w{i + 1}*{x}" for i, x in enumerate(xs))
+        g_terms = ", ".join(
+            ["sum(p - y) AS g0"]
+            + [f"sum((p - y)*{x}) AS g{i + 1}" for i, x in enumerate(xs)])
+        ctes.append(
+            f"g{r} AS MATERIALIZED (SELECT {g_terms} FROM ("
+            f"SELECT 1.0::DOUBLE/(1.0::DOUBLE + exp(-({z}))) AS p, "
+            f"y::DOUBLE AS y, {', '.join(xs)} FROM feats, w{r - 1}_))")
+        upd = ", ".join(
+            f"round(w{i} - ({lrr})::DOUBLE * (g{i} / nn.n), {quant}) "
+            f"AS w{i}" for i in range(k + 1))
+        ctes.append(f"w{r}_ AS MATERIALIZED (SELECT {upd} FROM w{r - 1}_, g{r}, nn)")
+    tail = final_select or f"SELECT * FROM w{iters}_"
+    return "WITH " + ",\n".join(ctes) + "\n" + tail

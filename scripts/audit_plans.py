@@ -110,6 +110,10 @@ AUDIT = {
     # round is localCheckpoint-materialized, so a static explain shows
     # only the final checkpoint scan; its per-round body is a hash
     # join + HashAggregate over the q65-audited edge relation.
+    # q67 (logreg) likewise: per-round body is one scan of the
+    # localCheckpoint'd feature relation + a k+1-column HashAggregate;
+    # the returned DF is the scored projection, audited via the
+    # operator's own plan test (tests/test_lr.py: no Python eval).
 }
 
 # patterns that must NOT appear (scale-killers)
