@@ -1105,6 +1105,65 @@ def q67_logreg_quality(spark, sf_dir):
     return res
 
 
+def q68_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urltools): the key-normalizing
+    step in front of crawl-level URL dedup. Noisy URLs are
+    manufactured deterministically per doc (mixed case, default ports,
+    tracking params, fragments, trailing slashes), canonicalized with
+    the native regexp chain (no UDF, no backreference replacements),
+    and counted per canonical key — the dup groups URL-dedup would
+    collapse."""
+    from pii_extract_base_spark.functions.urltools import canonicalize_url
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Site"), (d % 50).cast("string"), F.lit(".Example"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 25).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?id="), (d % 10).cast("string"),
+                        F.lit("&utm_source=x"), (d % 5).cast("string")))
+         .otherwise(F.lit("?utm_campaign=y")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit("#sec"), (d % 7).cast("string")))
+         .otherwise(F.lit("")))
+    out = (docs.select("doc_id", url.alias("url_raw"))
+               .withColumn("url_canon",
+                           canonicalize_url(F.col("url_raw"))))
+    w = Window.partitionBy("url_canon")
+    return out.withColumn("n_same_canon",
+                          F.count("*").over(w).cast("long"))
+
+
+def _url_canonical_oracle() -> str:
+    from pii_extract_base_spark.functions.urltools import (
+        canonicalize_url_sql)
+    raw = """'https://Site' || (doc_id % 50)::VARCHAR || '.Example'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        || '/p/' || (doc_id % 25)::VARCHAR
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0 THEN
+                '?id=' || (doc_id % 10)::VARCHAR
+                || '&utm_source=x' || (doc_id % 5)::VARCHAR
+            ELSE '?utm_campaign=y' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN
+                '#sec' || (doc_id % 7)::VARCHAR ELSE '' END)"""
+    return f"""
+        WITH raw AS (
+            SELECT doc_id, {raw} AS url_raw FROM documents
+        ),
+        c AS (
+            SELECT doc_id, url_raw,
+                   {canonicalize_url_sql('url_raw')} AS url_canon
+            FROM raw
+        )
+        SELECT doc_id, url_raw, url_canon,
+               count(*) OVER (PARTITION BY url_canon)::BIGINT
+                   AS n_same_canon
+        FROM c"""
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1191,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_link_hosts": q65_link_hosts,
         "q66_pagerank": q66_pagerank,
         "q67_logreg_quality": q67_logreg_quality,
+        "q68_url_canonical": q68_url_canonical,
     }
 
 
@@ -2070,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "q65_link_hosts": _host_edges_sql(),
         "q66_pagerank": _pagerank_oracle(),
         "q67_logreg_quality": _logreg_oracle(),
+        "q68_url_canonical": _url_canonical_oracle(),
         "q64_html_extract": f"""
             WITH pages AS (
                 SELECT doc_id,

@@ -106,6 +106,9 @@ AUDIT = {
     "q64_html_extract": ["Project", "Batched: true"],
     # link graph: regexp_extract_all + explode (Generate) + edge agg
     "q65_link_hosts": ["Generate", "HashAggregate"],
+    # url canonicalization: regexp chain in the projection + one
+    # count window over the canonical key
+    "q68_url_canonical": ["Project", "Window"],
     # q66 (pagerank) is an iterative fixed-count loop — like q53, every
     # round is localCheckpoint-materialized, so a static explain shows
     # only the final checkpoint scan; its per-round body is a hash
@@ -141,6 +144,7 @@ FORBID = {
     "q60_bloom_blocklist": ["CartesianProduct", "SortMergeJoin",
                             "ArrowEvalPython", "BatchEvalPython"],
     "q64_html_extract": ["Exchange", "ArrowEvalPython", "BatchEvalPython"],
+    "q68_url_canonical": ["ArrowEvalPython", "BatchEvalPython"],
     "q65_link_hosts": ["SortAggregate", "ArrowEvalPython",
                        "BatchEvalPython"],
     "q61_cms_heavy_hitters": ["CartesianProduct", "SortAggregate",
