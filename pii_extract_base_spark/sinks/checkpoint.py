@@ -368,6 +368,32 @@ class CheckpointedSink:
         paths = [str(self.path / f"part_id={k}") for k in done]
         return spark.read.parquet(*paths)
 
+    def diff(self, spark, from_commit: int,
+             to_commit: Optional[int] = None) -> DataFrame:
+        """Incremental scan (Iceberg changelog equivalent): the rows
+        APPENDED strictly after commit ``from_commit`` and up to
+        ``to_commit`` (inclusive; default = latest). The table is
+        append-only with immutable committed partitions, so a manifest
+        slice IS the changelog — this is the primitive an incremental
+        consumer (e.g. `dedup_incremental`'s new batch, or a training
+        job that wants only what landed since its last run) reads
+        instead of re-scanning the table. ``from_commit=-1`` returns
+        everything up to ``to_commit``."""
+        entries = self.manifest_entries()
+        if not entries:
+            raise FileNotFoundError(f"no commits in {self.path}")
+        hi = len(entries) - 1 if to_commit is None else to_commit
+        new = sorted({e["partition_id"]
+                      for e in entries[from_commit + 1: hi + 1]})
+        if not new:
+            # empty diff, schema-bearing: latest committed partition, 0 rows
+            any_part = entries[-1]["partition_id"]
+            return (spark.read
+                    .parquet(str(self.path / f"part_id={any_part}"))
+                    .limit(0))
+        return spark.read.parquet(
+            *[str(self.path / f"part_id={k}") for k in new])
+
     def metrics(self, spark) -> DataFrame:
         """The _metrics lineage table (FIXTURES.md §3.3)."""
         entries = self.manifest_entries()
