@@ -1164,6 +1164,27 @@ def _url_canonical_oracle() -> str:
         FROM c"""
 
 
+def q69_skew_stats(spark, sf_dir):
+    """Join-key skew diagnosis (the measurement behind partitioning
+    .salted_join's S choice, north-star N9): per-key cardinality,
+    corpus share, and hot-key multiplier vs the mean, in one hash
+    aggregate + a broadcast 1-row totals join — what a planner runs
+    over a 100 TB fact before picking salt factor / AQE thresholds."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    tot = per.agg(F.sum("n").alias("tot"),
+                  F.avg("n").alias("avg_n"),
+                  F.max("n").alias("max_n"))
+    return (per.crossJoin(F.broadcast(tot))
+               .select("event_type", "n",
+                       F.round(F.col("n") / F.col("tot"), 6)
+                        .alias("share"),
+                       F.round(F.col("n") / F.col("avg_n"), 6)
+                        .alias("skew_vs_avg"),
+                       (F.col("n") == F.col("max_n"))
+                        .alias("is_hottest")))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1251,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_pagerank": q66_pagerank,
         "q67_logreg_quality": q67_logreg_quality,
         "q68_url_canonical": q68_url_canonical,
+        "q69_skew_stats": q69_skew_stats,
     }
 
 
@@ -2131,6 +2153,22 @@ def oracle_sql() -> dict[str, str]:
         "q66_pagerank": _pagerank_oracle(),
         "q67_logreg_quality": _logreg_oracle(),
         "q68_url_canonical": _url_canonical_oracle(),
+        "q69_skew_stats": """
+            WITH per AS (
+                SELECT event_type, count(*)::BIGINT AS n
+                FROM events GROUP BY event_type
+            ),
+            tot AS (
+                SELECT sum(n)::BIGINT AS tot, avg(n) AS avg_n,
+                       max(n) AS max_n
+                FROM per
+            )
+            SELECT event_type, n,
+                   round(n / tot, 6) AS share,
+                   round(n / avg_n, 6) AS skew_vs_avg,
+                   (n = max_n) AS is_hottest
+            FROM per, tot
+        """,
         "q64_html_extract": f"""
             WITH pages AS (
                 SELECT doc_id,
