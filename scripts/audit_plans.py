@@ -109,6 +109,10 @@ AUDIT = {
     # url canonicalization: regexp chain in the projection + one
     # count window over the canonical key
     "q68_url_canonical": ["Project", "Window"],
+    # skew diagnosis: per-key hash agg + 1-row broadcast totals (the
+    # scalar-bounds BNLJ pattern, same as q40)
+    "q69_skew_stats": ["HashAggregate",
+                       "BroadcastNestedLoop|BroadcastHashJoin"],
     # q66 (pagerank) is an iterative fixed-count loop — like q53, every
     # round is localCheckpoint-materialized, so a static explain shows
     # only the final checkpoint scan; its per-round body is a hash
