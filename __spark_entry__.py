@@ -1185,6 +1185,21 @@ def q69_skew_stats(spark, sf_dir):
                         .alias("is_hottest")))
 
 
+def q70_mixture_sample(spark, sf_dir):
+    """Dataset mixing (functions/sampling.mixture_sample): assemble a
+    60-doc corpus targeting 60/30/10 proportions over three sources —
+    deterministic md5-order pick per stratum, one window, no joins.
+    src0's 0.6 share (quota 36) exceeds its 25 available docs, so the
+    output also proves the documented shortfall semantics (all 25
+    picked, no reflow)."""
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "source", "doc_id",
+                         {"src0": 0.6, "src1": 0.3, "src2": 0.1},
+                         budget=60)
+    return out.select("doc_id", "source")
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1273,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_logreg_quality": q67_logreg_quality,
         "q68_url_canonical": q68_url_canonical,
         "q69_skew_stats": q69_skew_stats,
+        "q70_mixture_sample": q70_mixture_sample,
     }
 
 
@@ -2153,6 +2169,20 @@ def oracle_sql() -> dict[str, str]:
         "q66_pagerank": _pagerank_oracle(),
         "q67_logreg_quality": _logreg_oracle(),
         "q68_url_canonical": _url_canonical_oracle(),
+        "q70_mixture_sample": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR) ASC,
+                                    doc_id ASC) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM ranked
+            WHERE (source = 'src0' AND rn <= 36)
+               OR (source = 'src1' AND rn <= 18)
+               OR (source = 'src2' AND rn <= 6)
+        """,
         "q69_skew_stats": """
             WITH per AS (
                 SELECT event_type, count(*)::BIGINT AS n

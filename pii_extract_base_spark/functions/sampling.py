@@ -127,3 +127,39 @@ def per_key_cap(df: DataFrame, key_col: str, cap: int,
     return (df.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") <= cap)
               .drop("_rn"))
+
+
+def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
+                   shares: dict, budget: int) -> DataFrame:
+    """Assemble a fixed-budget corpus with target per-stratum
+    proportions — the dataset-MIXING step (Pile/Dolma-style source
+    weighting) that follows quality filtering: for each stratum s in
+    ``shares``, take the floor(shares[s]·budget) rows with the
+    smallest md5(key) — a deterministic uniform-without-replacement
+    pick, resume-stable and engine-replayable like every sampler in
+    this module. Strata not in ``shares`` are dropped; an
+    under-populated stratum contributes ALL its rows (the shortfall is
+    visible in the output counts — no silent reflow to other strata,
+    which would change the mixture semantics).
+
+    One per-stratum window (row_number over md5 order, key tiebreak)
+    + a literal CASE quota — no joins, one shuffle on the stratum key.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1: {budget}")
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    from pyspark.sql import Window
+    quota = None
+    for s, share in shares.items():
+        q = int(share * budget)
+        cond = F.col(strata_col) == s
+        quota = (F.when(cond, q) if quota is None
+                 else quota.when(cond, q))
+    quota = quota.otherwise(F.lit(0))
+    h = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    w = (Window.partitionBy(strata_col)
+               .orderBy(F.asc(h), F.asc(key_col)))
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= quota)
+              .drop("_rn"))

@@ -1202,3 +1202,40 @@ def test_real_png_palette_decode():
                  + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_image(short_pal)      # index 15 >= 4-entry palette
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample (functions/sampling) — dataset mixing
+
+def test_mixture_sample_quotas_and_shortfall(spark):
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    rows = [(i, "a" if i < 100 else ("b" if i < 140 else "c"))
+            for i in range(160)]   # a:100, b:40, c:20
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = mixture_sample(df, "src", "doc_id",
+                         {"a": 0.5, "b": 0.3, "c": 0.2}, budget=100)
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got == {"a": 50, "b": 30, "c": 20}
+    # shortfall: c has 20 rows but quota 40 -> all 20, no reflow
+    out2 = mixture_sample(df, "src", "doc_id",
+                          {"c": 0.4, "a": 0.6}, budget=100)
+    got2 = {r["src"]: r["n"] for r in
+            out2.groupBy("src").count()
+                .withColumnRenamed("count", "n").collect()}
+    assert got2 == {"a": 60, "c": 20}
+    # strata not in shares are dropped
+    assert "b" not in got2
+
+
+def test_mixture_sample_deterministic(spark):
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(90)],
+                               "doc_id long, src string")
+    shares = {"s0": 0.4, "s1": 0.4, "s2": 0.2}
+    a = {r["doc_id"] for r in
+         mixture_sample(df, "src", "doc_id", shares, 45).collect()}
+    b = {r["doc_id"] for r in
+         mixture_sample(df.repartition(7), "src", "doc_id", shares, 45)
+         .collect()}
+    assert a == b          # partitioning-independent (resume-stable)
