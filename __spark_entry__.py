@@ -1200,6 +1200,26 @@ def q70_mixture_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _bpe_oracle() -> str:
+    from pii_extract_base_spark.operators.bpe import bpe_oracle_sql
+    return bpe_oracle_sql(_DUCK_WORDS, table="documents", rounds=6)
+
+
+def q71_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training, inner loop (operators/bpe): 6 most
+    frequent adjacent-symbol merges fitted on the distinct-word
+    frequency table (the classic vocabulary-not-corpus scaling trick).
+    Per round: one pair-explode + hash aggregate + a single collected
+    row (O(1) driver state, the kmeans/LR/PageRank contract), merge
+    applied as a native string replace. The merge TABLE is the model;
+    DuckDB replays every round as unrolled MATERIALIZED CTEs."""
+    from pii_extract_base_spark.operators.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=6)
+    return spark.createDataFrame(merges,
+                                 "round long, pair string, cnt long")
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1289,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_url_canonical": q68_url_canonical,
         "q69_skew_stats": q69_skew_stats,
         "q70_mixture_sample": q70_mixture_sample,
+        "q71_bpe_merges": q71_bpe_merges,
     }
 
 
@@ -2169,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_pagerank": _pagerank_oracle(),
         "q67_logreg_quality": _logreg_oracle(),
         "q68_url_canonical": _url_canonical_oracle(),
+        "q71_bpe_merges": _bpe_oracle(),
         "q70_mixture_sample": """
             WITH ranked AS (
                 SELECT doc_id, source,

@@ -1,0 +1,131 @@
+"""BPE tokenizer training — the byte-pair-merge inner loop, run as a
+corpus-scale Spark job (the missing piece between corpus curation and
+model training: the tokenizer itself is FIT on the curated corpus).
+
+Classic formulation (Sennrich et al. 2016, arXiv:1508.07909): start
+from characters, repeatedly merge the most frequent adjacent symbol
+pair.  The standard scaling trick is applied first: aggregate the
+corpus to a DISTINCT-WORD frequency table, so every merge round costs
+one scan of the (small) word table — training cost scales with
+vocabulary, not corpus tokens.  That aggregation is the only
+corpus-sized shuffle; everything after is:
+
+  per round: explode adjacent symbol pairs (weighted by word count)
+             → map-side-combinable hash aggregate
+             → top-1 (count desc, pair asc — deterministic tie-break)
+             → ONE collected row (the iterative-ML driver-loop
+               contract: O(1) state per round, like kmeans/LR/PageRank)
+             → apply the merge as a plain string replace on the
+               symbol column, localCheckpoint, repeat.
+
+Symbol encoding: words are rendered as space-joined characters with
+sentinel spaces (`" h e l l o "`), so applying merge (a,b) is
+`replace(sym, " a b ", " ab ")` — a native string op on both engines.
+Merge application is LEFT-TO-RIGHT NON-OVERLAPPING SINGLE-PASS (the
+shared semantics of Spark's and DuckDB's replace): a run like
+`a b a b` merges only its first occurrence in that round because the
+occurrences share a boundary space.  This is a documented deviation
+from textbook BPE's within-round re-scan — it only delays such merges
+to a later round, and both engines (and the DuckDB replay) apply the
+identical rule, which is what the parity gate verifies.  ASCII-ish
+input assumed (Java regex `.` splits astral surrogate pairs where
+RE2 would not).
+"""
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.textstats import words_col
+
+
+def _sym_col(word: Column) -> Column:
+    """' h e l l o ' — space-joined chars with sentinel spaces."""
+    chars = F.regexp_extract_all(word, F.lit("."), 0)
+    return F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" "))
+
+
+def _pair_col(sym: Column) -> Column:
+    """All adjacent symbol pairs ('a b'), multiplicity kept."""
+    a = F.split(F.trim(sym), " ")
+    sz = F.size(a)
+    return F.when(
+        sz >= 2,
+        F.transform(F.sequence(F.lit(0), sz - 2),
+                    lambda i: F.concat(F.element_at(a, i + 1),
+                                       F.lit(" "),
+                                       F.element_at(a, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              rounds: int = 6) -> List[Tuple[int, str, int]]:
+    """Fit ``rounds`` BPE merges; returns [(round, "a b", count), ...].
+
+    The merge list IS the tokenizer model (applied in order at encode
+    time).  Deterministic: integer counts, total-order tie-break."""
+    wf = (df.select(F.explode(words_col(text_col)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("n")))
+    cur = (wf.select("w", "n", _sym_col(F.col("w")).alias("sym"))
+             .localCheckpoint())
+    merges: List[Tuple[int, str, int]] = []
+    for r in range(1, rounds + 1):
+        top = (cur.select("n", F.explode(_pair_col(F.col("sym")))
+                          .alias("pair"))
+                  .groupBy("pair").agg(F.sum("n").alias("cnt"))
+                  .orderBy(F.desc("cnt"), F.asc("pair"))
+                  .limit(1).collect())
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merges.append((r, pair, cnt))
+        merged = pair.replace(" ", "")
+        cur = (cur.withColumn(
+                   "sym",
+                   F.replace(F.col("sym"), F.lit(f" {pair} "),
+                             F.lit(f" {merged} ")))
+                  .localCheckpoint())
+    return merges
+
+
+def bpe_oracle_sql(words_list_expr: str, table: str = "documents",
+                   rounds: int = 6) -> str:
+    """DuckDB replay of `bpe_train` as unrolled MATERIALIZED CTE
+    rounds over the same word-frequency table.  ``words_list_expr``
+    must be the engine's word-list expression over ``table``'s text
+    column (the caller supplies the same tokenization the Spark side
+    uses)."""
+    pairs_of = (
+        "CASE WHEN len(a) >= 2 THEN list_transform(range(len(a) - 1), "
+        "i -> a[i+1] || ' ' || a[i+2]) ELSE [] END")
+    ctes = [f"""w0 AS MATERIALIZED (
+        SELECT w, count(*)::BIGINT AS n,
+               ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                   || ' ' AS sym
+        FROM (SELECT unnest({words_list_expr}) AS w FROM {table})
+        GROUP BY w
+    )"""]
+    for r in range(1, rounds + 1):
+        p = f"w{r - 1}"
+        ctes.append(f"""p{r} AS MATERIALIZED (
+            SELECT pair, sum(n)::BIGINT AS cnt FROM (
+                SELECT n, unnest({pairs_of}) AS pair
+                FROM (SELECT n, string_split(trim(sym), ' ') AS a
+                      FROM {p})
+            ) GROUP BY pair
+        )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+            SELECT {r}::BIGINT AS round, pair, cnt
+            FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+        )""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+            SELECT w, n,
+                   replace(sym,
+                           ' ' || (SELECT pair FROM m{r}) || ' ',
+                           ' ' || replace((SELECT pair FROM m{r}),
+                                          ' ', '') || ' ') AS sym
+            FROM {p}
+        )""")
+    union = "\nUNION ALL ".join(f"SELECT * FROM m{r}"
+                                for r in range(1, rounds + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + union
