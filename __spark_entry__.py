@@ -1220,6 +1220,56 @@ def q71_bpe_merges(spark, sf_dir):
                                  "round long, pair string, cnt long")
 
 
+def q72_bpe_token_stats(spark, sf_dir):
+    """BPE encode-side token counting (operators/bpe.bpe_encode_count):
+    train 6 merges, then count TOKENIZER-accurate doc lengths — the
+    lengths token-budget sharding (q59) and context packing actually
+    need; whitespace counts mis-budget by the compression ratio shown
+    in chars_per_tok. Encode is a pure projection (merge chain inlined
+    as plan literals); the oracle re-derives the same merges via the
+    q71 CTE chain and encodes with them as captured columns."""
+    from pii_extract_base_spark.operators.bpe import (
+        bpe_encode_count, bpe_train)
+    from pii_extract_base_spark.functions.textstats import token_count
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=6)
+    out = bpe_encode_count(docs, merges)
+    chars = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return out.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_ws_tokens"),
+        "n_bpe_tokens",
+        F.round(chars.cast("double") / F.col("n_bpe_tokens"), 6)
+         .alias("chars_per_tok"))
+
+
+def _bpe_encode_oracle() -> str:
+    from pii_extract_base_spark.operators.bpe import bpe_oracle_sql
+    words = _DUCK_WORDS
+    enc = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '"
+    for i in range(1, 7):
+        enc = (f"replace({enc}, ' ' || p{i} || ' ', "
+               f"' ' || replace(p{i}, ' ', '') || ' ')")
+    cnt = (f"coalesce(list_sum(list_transform({words}, "
+           f"w -> len(string_split(trim({enc}), ' ')))), 0)::BIGINT")
+    mcols = ", ".join(
+        f"(SELECT pair FROM m{i}) AS p{i}" for i in range(1, 7))
+    final = f""", mm AS MATERIALIZED (SELECT {mcols}),
+        ec AS (
+            SELECT doc_id, len({words})::BIGINT AS n_ws_tokens,
+                   {cnt} AS n_bpe_tokens,
+                   length(coalesce(text, '')) AS n_chars
+            FROM documents, mm
+        )
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               round(n_chars::DOUBLE / n_bpe_tokens, 6) AS chars_per_tok
+        FROM ec"""
+    # splice: final starts with ", mm AS ..." so it extends the CTE list
+    base = bpe_oracle_sql(words, table="documents", rounds=6,
+                          final_select="__TAIL__")
+    return base.replace("\n__TAIL__", final)
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1310,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_skew_stats": q69_skew_stats,
         "q70_mixture_sample": q70_mixture_sample,
         "q71_bpe_merges": q71_bpe_merges,
+        "q72_bpe_token_stats": q72_bpe_token_stats,
     }
 
 
@@ -2191,6 +2242,7 @@ def oracle_sql() -> dict[str, str]:
         "q67_logreg_quality": _logreg_oracle(),
         "q68_url_canonical": _url_canonical_oracle(),
         "q71_bpe_merges": _bpe_oracle(),
+        "q72_bpe_token_stats": _bpe_encode_oracle(),
         "q70_mixture_sample": """
             WITH ranked AS (
                 SELECT doc_id, source,

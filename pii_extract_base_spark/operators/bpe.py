@@ -88,13 +88,51 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     return merges
 
 
+def bpe_encode_count(df: DataFrame, merges, text_col: str = "text",
+                     out_col: str = "n_bpe_tokens") -> DataFrame:
+    """Encode-side token count: apply the fitted merge list in order
+    to every word, count resulting symbols — the tokenizer-accurate
+    doc length that budget sharding (`operators/sharding`) and context
+    packing actually need (whitespace counts mis-budget by the
+    compression ratio). Pure projection: the merge chain is inlined as
+    plan literals (one nested replace chain per word inside a
+    transform lambda), no UDF, no shuffle. Same single-pass merge
+    application as training (see module docstring)."""
+    pairs = [m[1] if isinstance(m, tuple) else m for m in merges]
+
+    def enc(w):
+        s = _sym_col(w)
+        for pair in pairs:
+            s = F.replace(s, F.lit(f" {pair} "),
+                          F.lit(" " + pair.replace(" ", "") + " "))
+        return F.size(F.split(F.trim(s), " "))
+
+    words = words_col(text_col)
+    total = F.aggregate(F.transform(words, enc), F.lit(0),
+                        lambda a, x: a + x)
+    return df.withColumn(out_col, total.cast("long"))
+
+
+def bpe_encode_count_sql(words_list_expr: str, merges) -> str:
+    """DuckDB rendering of `bpe_encode_count`'s count expression."""
+    pairs = [m[1] if isinstance(m, tuple) else m for m in merges]
+    enc = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '"
+    for pair in pairs:
+        merged = pair.replace(" ", "")
+        enc = f"replace({enc}, ' {pair} ', ' {merged} ')"
+    return (f"coalesce(list_sum(list_transform({words_list_expr}, "
+            f"w -> len(string_split(trim({enc}), ' ')))), 0)::BIGINT")
+
+
 def bpe_oracle_sql(words_list_expr: str, table: str = "documents",
-                   rounds: int = 6) -> str:
+                   rounds: int = 6, final_select: str = None) -> str:
     """DuckDB replay of `bpe_train` as unrolled MATERIALIZED CTE
     rounds over the same word-frequency table.  ``words_list_expr``
     must be the engine's word-list expression over ``table``'s text
     column (the caller supplies the same tokenization the Spark side
-    uses)."""
+    uses).  ``final_select`` overrides the trailing merge-table UNION
+    (it may reference any ``m{r}`` CTE — e.g. to encode with the
+    fitted merges)."""
     pairs_of = (
         "CASE WHEN len(a) >= 2 THEN list_transform(range(len(a) - 1), "
         "i -> a[i+1] || ' ' || a[i+2]) ELSE [] END")
@@ -128,4 +166,4 @@ def bpe_oracle_sql(words_list_expr: str, table: str = "documents",
         )""")
     union = "\nUNION ALL ".join(f"SELECT * FROM m{r}"
                                 for r in range(1, rounds + 1))
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(ctes) + "\n" + (final_select or union)

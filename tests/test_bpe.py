@@ -67,3 +67,29 @@ def test_bpe_oracle_replays_trainer(spark):
     rows = con.execute(
         bpe_oracle_sql(words, table="docs", rounds=6)).fetchall()
     assert [(int(r), p, int(c)) for r, p, c in rows] == got
+
+
+def test_bpe_encode_count_matches_python(spark):
+    from pii_extract_base_spark.operators.bpe import bpe_encode_count
+
+    def py_encode_count(text, pairs):
+        total = 0
+        for w in text.split():
+            s = " " + " ".join(w) + " "
+            for p in pairs:
+                s = s.replace(f" {p} ", " " + p.replace(" ", "") + " ")
+            total += len(s.split())
+        return total
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)],
+                               "i long, text string")
+    merges = bpe_train(df, "text", rounds=6)
+    pairs = [p for _, p, _ in merges]
+    got = {r["i"]: r["n_bpe_tokens"] for r in
+           bpe_encode_count(df, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == py_encode_count(t, pairs), t
+    # merging strictly shrinks token counts vs raw chars
+    for i, t in enumerate(TEXTS):
+        n_chars = sum(len(w) for w in t.split())
+        assert got[i] < n_chars
