@@ -907,7 +907,7 @@ def q64_html_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pages = docs.select(
         "doc_id",
-        F.encode(render_html(F.col("doc_id"), F.col("text")),
+        F.encode(render_html(F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))),
                  "UTF-8").alias("html"))
     out = extract_pages(pages)
     return out.select(
@@ -925,7 +925,7 @@ def _host_edges(spark, sf_dir):
     from pii_extract_base_spark.functions.htmlextract import (
         extract_links, host_of, render_html)
     docs = _t(spark, sf_dir, "documents")
-    html = render_html(F.col("doc_id"), F.col("text"))
+    html = render_html(F.col("doc_id"), F.coalesce(F.col("text"), F.lit("")))
     src_host = F.concat(F.lit("site"), (F.col("doc_id") % 97).cast("string"),
                         F.lit(".example"))
     return (docs.select(src_host.alias("src_host"),
@@ -1252,8 +1252,13 @@ def _bpe_encode_oracle() -> str:
                f"' ' || replace(p{i}, ' ', '') || ' ')")
     cnt = (f"coalesce(list_sum(list_transform({words}, "
            f"w -> len(string_split(trim({enc}), ' ')))), 0)::BIGINT")
+    # coalesce to a never-occurring symbol pair (NUL char) so a corpus
+    # that exhausts its pair vocabulary before round 6 leaves the
+    # remaining replaces as no-ops instead of NULL-poisoning the chain
+    # (mirrors bpe_train returning a short merge list)
     mcols = ", ".join(
-        f"(SELECT pair FROM m{i}) AS p{i}" for i in range(1, 7))
+        f"coalesce((SELECT pair FROM m{i}), chr(0)) AS p{i}"
+        for i in range(1, 7))
     final = f""", mm AS MATERIALIZED (SELECT {mcols}),
         ec AS (
             SELECT doc_id, len({words})::BIGINT AS n_ws_tokens,

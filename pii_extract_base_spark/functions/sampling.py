@@ -30,11 +30,13 @@ BUCKETS = 10_000
 
 
 def hash_bucket(key_col: str) -> Column:
-    """Near-uniform deterministic bucket in [0, 10000) from a 32-bit
-    md5(key) slice (see module docstring for the bias arithmetic).
-    NULL keys coalesce to '' — one shared, deterministic bucket."""
-    h = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+    """Near-uniform deterministic bucket in [0, 10000) from the shared
+    md5-slice kernel (functions/hashing; see module docstring for the
+    bias arithmetic). NULL keys coalesce to '' — one shared,
+    deterministic bucket."""
+    from .hashing import md5_mod
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    return md5_mod(key, BUCKETS)
 
 
 def stratified_sample(df: DataFrame, strata_col: str, key_col: str,

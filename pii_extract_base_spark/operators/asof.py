@@ -54,8 +54,14 @@ def asof_join(left: DataFrame, right: DataFrame, by: str,
     left_cols = list(left.columns)
     # a right row with a NULL timestamp can match nothing ("ts <= left
     # ts" is never satisfied) — but it would sort NULLS FIRST into the
-    # fill window and pollute every left row after it, so drop it here
-    r = right.where(F.col(right_ts).isNotNull()).select(
+    # fill window and pollute every left row after it, so drop it here.
+    # Likewise a NULL join KEY never matches under equality semantics
+    # (ASOF JOIN ON l.k = r.k: NULL = NULL is not a match — the q43
+    # DuckDB oracle agrees), but partitionBy groups NULLs together and
+    # would fill across them; drop NULL-key right rows so NULL-key
+    # left rows come back unmatched instead of spuriously joined
+    r = right.where(F.col(right_ts).isNotNull()
+                    & F.col(by).isNotNull()).select(
         F.col(by),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),

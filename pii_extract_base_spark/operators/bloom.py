@@ -29,10 +29,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _probe(key: Column, i: int, n_bits: int) -> Column:
-    """Position of hash probe i for a key (portable md5-slice hash)."""
-    h = F.md5(F.concat(F.lit(f"{i}#"), key))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-            % F.lit(n_bits))
+    """Position of hash probe i for a key (functions/hashing kernel)."""
+    from ..functions.hashing import md5_mod
+    return md5_mod(key, n_bits, salt=f"{i}#")
 
 
 def bloom_build(df: DataFrame, key_col: str, n_bits: int = 4096,

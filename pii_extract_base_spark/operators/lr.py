@@ -33,6 +33,18 @@ from typing import List, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 
+def _qround(x: float, q: int) -> float:
+    """Half-away-from-zero rounding — the rule SQL round() uses on
+    BOTH replay engines (verified: DuckDB round(0.125,2)=0.13; Spark
+    ROUND is HALF_UP). Python's built-in round() is banker's
+    (round(0.125,2)=0.12), so using it on the driver would let a
+    single exact-midpoint weight update diverge the oracle trajectory
+    permanently. Same arithmetic as DuckDB's double round:
+    sign·floor(|x|·10^q + 0.5)/10^q."""
+    m = 10.0 ** q
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
 def _z_col(w: Sequence[float], feature_cols: Sequence[str]):
     """w0 + w1*x1 + … in explicit left-fold order (replay contract)."""
     z = F.lit(float(w[0]))
@@ -65,7 +77,7 @@ def logreg_train(df: DataFrame, feature_cols: Sequence[str],
         aggs += [F.sum(err * F.col(c)).alias(f"g{i + 1}")
                  for i, c in enumerate(feature_cols)]
         g = X.agg(*aggs).collect()[0]
-        w = [round(w[i] - lr * (float(g[f"g{i}"]) / n), quant)
+        w = [_qround(w[i] - lr * (float(g[f"g{i}"]) / n), quant)
              for i in range(k + 1)]
     return w
 
@@ -97,7 +109,8 @@ def logreg_python(rows, k: int, iters: int = 12, lr: float = 2.0,
             g[0] += e
             for i in range(k):
                 g[i + 1] += e * r[i]
-        w = [round(w[i] - lr * (g[i] / n), quant) for i in range(k + 1)]
+        w = [_qround(w[i] - lr * (g[i] / n), quant)
+             for i in range(k + 1)]
     return w
 
 

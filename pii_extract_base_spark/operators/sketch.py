@@ -21,9 +21,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _bucket(item: Column, r: int, width: int) -> Column:
-    h = F.md5(F.concat(F.lit(f"{r}:"), item))
-    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-            % F.lit(width))
+    from ..functions.hashing import md5_mod
+    return md5_mod(item, width, salt=f"{r}:")
 
 
 def cms_build(df: DataFrame, item_col: str, depth: int = 3,

@@ -1239,3 +1239,23 @@ def test_mixture_sample_deterministic(spark):
          mixture_sample(df.repartition(7), "src", "doc_id", shares, 45)
          .collect()}
     assert a == b          # partitioning-independent (resume-stable)
+
+
+def test_asof_null_keys_never_match(spark):
+    """ASOF equality semantics: NULL = NULL is not a match (the DuckDB
+    oracle agrees); NULL-key left rows come back unmatched instead of
+    filling from NULL-key right rows."""
+    from pii_extract_base_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(None, 10), ("k", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [(None, 5, 100.0), ("k", 5, 7.0)], "k string, ts long, v double")
+    rows = asof_join(left, right, by="k", left_ts="ts",
+                     right_ts="ts", right_cols=["v"]).collect()
+    by_key = {r["k"]: r["v_asof"] for r in rows}
+    assert by_key["k"] == 7.0
+    assert by_key[None] is None       # kept (how=left) but unmatched
+    inner = asof_join(left, right, by="k", left_ts="ts",
+                      right_ts="ts", right_cols=["v"],
+                      how="inner").collect()
+    assert [r["k"] for r in inner] == ["k"]
