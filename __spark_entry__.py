@@ -1275,6 +1275,83 @@ def _bpe_encode_oracle() -> str:
     return base.replace("\n__TAIL__", final)
 
 
+def q73_pq_codes(spark, sf_dir):
+    """Product quantization (operators/cluster composed per subspace):
+    split each 64-d embedding into 4×16-d subvectors, Lloyd-train a
+    4-centroid codebook per subspace (the q55 trainer over slices),
+    emit the 4 PQ codes + rounded reconstruction error per vector —
+    the memory-scale companion to IVF (q18): 64 floats → 4 small ints,
+    with codebooks as broadcast literals so encode is one codegen
+    projection. The DuckDB oracle replays all four Lloyd chains over
+    the same slices."""
+    from pii_extract_base_spark.operators.cluster import _sq_dist, kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v")).localCheckpoint()
+    out = base
+    for s in range(4):
+        sub = base.select(
+            "vec_id", F.slice("v", 16 * s + 1, 16).alias("embedding"))
+        _, cents = kmeans(sub, k=4, iters=2, dim=16)
+        sv = F.slice(F.col("v"), 16 * s + 1, 16)
+        best = F.array_min(F.array(*[
+            F.struct(_sq_dist(sv, c).alias("dist"),
+                     F.lit(int(cid)).alias("cid"))
+            for cid, c in cents]))
+        out = (out.withColumn(f"c{s}", best["cid"])
+                  .withColumn(f"_d{s}", best["dist"]))
+    err = F.round(F.col("_d0") + F.col("_d1")
+                  + F.col("_d2") + F.col("_d3"), 6)
+    return out.select("vec_id", "c0", "c1", "c2", "c3",
+                      err.alias("recon_err"))
+
+
+def _pq_oracle(m: int = 4, subdim: int = 16, k: int = 4,
+               iters: int = 2) -> str:
+    """DuckDB replay of q73: one unrolled Lloyd chain per subspace
+    over the same 1-based-inclusive slices, final assigns keep the
+    min distance for the reconstruction error."""
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings)"]
+    for s in range(m):
+        lo, hi = subdim * s + 1, subdim * (s + 1)
+        dist = " + ".join(
+            f"(v[{lo + i}] - c[{i + 1}]) * (v[{lo + i}] - c[{i + 1}])"
+            for i in range(subdim))
+        avgs = ", ".join(f"round(avg(v[{lo + i}]), 4)"
+                         for i in range(subdim))
+
+        def assign(name, cents, with_dist=False):
+            extra = ", d" if with_dist else ""
+            return f"""{name} AS (
+                SELECT vec_id, cid AS cluster{extra} FROM (
+                    SELECT e.vec_id, {cents}.cid,
+                           round({dist}, 9) AS d,
+                           row_number() OVER (PARTITION BY e.vec_id
+                                              ORDER BY round({dist}, 9),
+                                                       cid) AS rn
+                    FROM e CROSS JOIN {cents}) WHERE rn = 1)"""
+
+        ctes.append(
+            f"s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cid, (embedding::DOUBLE[])[{lo}:{hi}] AS c "
+            f"FROM embeddings ORDER BY vec_id LIMIT {k})")
+        prev = f"s{s}c0"
+        for r in range(1, iters + 1):
+            ctes.append(assign(f"s{s}a{r}", prev))
+            ctes.append(f"""s{s}c{r} AS (
+                SELECT cluster AS cid, [{avgs}] AS c
+                FROM s{s}a{r} JOIN e USING (vec_id) GROUP BY cluster)""")
+            prev = f"s{s}c{r}"
+        ctes.append(assign(f"s{s}F", prev, with_dist=True))
+    joins = " ".join(f"JOIN s{s}F USING (vec_id)" for s in range(m))
+    codes = ", ".join(f"s{s}F.cluster AS c{s}" for s in range(m))
+    errs = " + ".join(f"s{s}F.d" for s in range(m))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT vec_id, {codes}, round({errs}, 6) AS recon_err"
+            + f"\nFROM e {joins}")
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1366,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_mixture_sample": q70_mixture_sample,
         "q71_bpe_merges": q71_bpe_merges,
         "q72_bpe_token_stats": q72_bpe_token_stats,
+        "q73_pq_codes": q73_pq_codes,
     }
 
 
@@ -2248,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "q68_url_canonical": _url_canonical_oracle(),
         "q71_bpe_merges": _bpe_oracle(),
         "q72_bpe_token_stats": _bpe_encode_oracle(),
+        "q73_pq_codes": _pq_oracle(),
         "q70_mixture_sample": """
             WITH ranked AS (
                 SELECT doc_id, source,

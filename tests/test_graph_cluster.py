@@ -232,3 +232,50 @@ def test_pagerank_dangling_mass_redistributed(spark):
     want = _numpy_pagerank(edges)
     for n in want:
         assert abs(got[n] - want[n]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (q73 composition: per-subspace kmeans + codes)
+
+def test_pq_codes_separate_subspace_patterns(spark):
+    """Vectors built from 2 distinct patterns per 4-d subspace: PQ
+    codes must agree for same-pattern vectors and the reconstruction
+    error must be ~0 (every vector sits ON a codebook centroid)."""
+    from pii_extract_base_spark.operators.cluster import _sq_dist, kmeans
+    from pyspark.sql import functions as F
+    pats = [[0.0] * 4, [10.0] * 4]
+    # combo per vec: vec 0 = all pattern-0, vec 1 = all pattern-1 (the
+    # smallest-id deterministic inits must differ in EVERY subspace or
+    # that subspace's 2-means starts with two identical centroids)
+    combos = [0, 7] + [(i - 2) % 8 for i in range(2, 16)]
+    rows = []
+    for i, cmb in enumerate(combos):
+        vec = []
+        for s in range(3):                      # 3 subspaces x 4 dims
+            vec += pats[(cmb >> s) & 1]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.select("vec_id", F.col("embedding").alias("v"))
+    out = base
+    for s in range(3):
+        sub = base.select("vec_id",
+                          F.slice("v", 4 * s + 1, 4).alias("embedding"))
+        _, cents = kmeans(sub, k=2, iters=2, dim=4)
+        sv = F.slice(F.col("v"), 4 * s + 1, 4)
+        best = F.array_min(F.array(*[
+            F.struct(_sq_dist(sv, c).alias("dist"),
+                     F.lit(int(cid)).alias("cid"))
+            for cid, c in cents]))
+        out = (out.withColumn(f"c{s}", best["cid"])
+                  .withColumn(f"d{s}", best["dist"]))
+    got = {r["vec_id"]: r.asDict() for r in out.collect()}
+    for i in range(16):
+        for s in range(3):
+            assert got[i][f"d{s}"] == 0.0        # on-centroid
+    for s in range(3):
+        by_pattern = {}
+        for i, cmb in enumerate(combos):
+            by_pattern.setdefault((cmb >> s) & 1,
+                                  set()).add(got[i][f"c{s}"])
+        assert all(len(v) == 1 for v in by_pattern.values())
+        assert by_pattern[0] != by_pattern[1]
