@@ -1352,6 +1352,88 @@ def _pq_oracle(m: int = 4, subdim: int = 16, k: int = 4,
             + f"\nFROM e {joins}")
 
 
+def q74_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance search (ADC, Jégou et al. TPAMI 2011):
+    top-10 neighbors of query vec_id=0 using ONLY the 4 PQ codes per
+    vector — the query-time half of q73. The per-subspace distance
+    table (query subvector vs each codebook centroid: 4×4 = 16
+    doubles) is computed on the driver and inlined, so scoring a
+    vector is 4 literal-array lookups + 3 additions in codegen: the
+    memory-bandwidth profile that makes PQ the billion-vector
+    standard. Completes the ANN family: exact (q14), LSH (q33),
+    IVF (q18), PQ-ADC (q74)."""
+    from pii_extract_base_spark.operators.cluster import _sq_dist, kmeans
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v")).localCheckpoint()
+    qrow = base.where(F.col("vec_id") == 0).collect()[0]["v"]
+
+    coded = base
+    dist_cols = []
+    for s in range(4):
+        sub = base.select(
+            "vec_id", F.slice("v", 16 * s + 1, 16).alias("embedding"))
+        _, cents = kmeans(sub, k=4, iters=2, dim=16)
+        sv = F.slice(F.col("v"), 16 * s + 1, 16)
+        best = F.array_min(F.array(*[
+            F.struct(_sq_dist(sv, c).alias("dist"),
+                     F.lit(int(cid)).alias("cid"))
+            for cid, c in cents]))
+        coded = coded.withColumn(f"c{s}", best["cid"])
+        # driver-side ADC table: ||q_sub - centroid||² per code,
+        # rounded like _sq_dist so the oracle replays the same doubles
+        from pii_extract_base_spark.operators.lr import _qround
+        qsub = qrow[16 * s: 16 * (s + 1)]
+        cmap = dict(cents)
+
+        def _fold_sq(cvec):          # left-fold, like _sq_dist
+            d = 0.0
+            for i in range(16):
+                t = qsub[i] - cvec[i]
+                d = d + t * t
+            return _qround(d, 9)     # SQL-round rule, not banker's
+
+        tbl = [_fold_sq(cmap[cid]) if cid in cmap else None
+               for cid in range(4)]
+        lut = F.array(*[F.lit(x) for x in tbl])
+        dist_cols.append(F.element_at(lut, F.col(f"c{s}") + 1))
+    adc = F.round(sum(dist_cols[1:], dist_cols[0]), 6)
+    return (coded.where(F.col("vec_id") != 0)
+                 .select("vec_id", adc.alias("adc_dist"),
+                         "c0", "c1", "c2", "c3")
+                 .orderBy("adc_dist", "vec_id").limit(10))
+
+
+def _pq_adc_oracle() -> str:
+    """DuckDB replay of q74: the q73 per-subspace Lloyd chains, the
+    query row pulled via scalar subqueries, per-subspace ADC distance
+    computed with the same left-fold + round(9) shape, summed and
+    rounded(6)."""
+    inner = _pq_oracle()                      # WITH <ctes>\nSELECT ...
+    ctes = inner[len("WITH "):inner.rfind("\nSELECT")]
+    parts = []
+    for s in range(4):
+        lo = 16 * s + 1
+        dist = " + ".join(
+            f"(q.v[{lo + i}] - c[{i + 1}]) * (q.v[{lo + i}] - c[{i + 1}])"
+            for i in range(16))
+        parts.append(f"""adc{s} AS (
+            SELECT cid, round({dist}, 9) AS d
+            FROM s{s}c2 AS cc(cid, c),
+                 (SELECT v FROM e WHERE vec_id = 0) q(v))""")
+    errs = " + ".join(f"t{s}.d" for s in range(4))
+    joins = " ".join(
+        f"JOIN s{s}F USING (vec_id) "
+        f"JOIN adc{s} t{s} ON t{s}.cid = s{s}F.cluster"
+        for s in range(4))
+    codes = ", ".join(f"s{s}F.cluster AS c{s}" for s in range(4))
+    return (f"WITH {ctes},\n" + ",\n".join(parts)
+            + f"\nSELECT vec_id, round({errs}, 6) AS adc_dist, {codes}"
+            + f"\nFROM e {joins}"
+            + "\nWHERE vec_id <> 0"
+            + "\nORDER BY adc_dist, vec_id LIMIT 10")
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1444,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_bpe_merges": q71_bpe_merges,
         "q72_bpe_token_stats": q72_bpe_token_stats,
         "q73_pq_codes": q73_pq_codes,
+        "q74_pq_adc_topk": q74_pq_adc_topk,
     }
 
 
@@ -2327,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "q71_bpe_merges": _bpe_oracle(),
         "q72_bpe_token_stats": _bpe_encode_oracle(),
         "q73_pq_codes": _pq_oracle(),
+        "q74_pq_adc_topk": _pq_adc_oracle(),
         "q70_mixture_sample": """
             WITH ranked AS (
                 SELECT doc_id, source,
