@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q60_bloom_blocklist",
     "q64_html_extract",
     "q66_pagerank",
+    "q68_url_canonical",
+    "q72_bpe_token_stats",
 ]
 
 

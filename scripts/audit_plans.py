@@ -113,6 +113,15 @@ AUDIT = {
     # scalar-bounds BNLJ pattern, same as q40)
     "q69_skew_stats": ["HashAggregate",
                        "BroadcastNestedLoop|BroadcastHashJoin"],
+    # dataset mixing: one per-stratum rank window + literal CASE quota
+    "q70_mixture_sample": ["Window", "Filter"],
+    # q71/q72 (BPE train/encode), q73/q74 (PQ codebooks/ADC) are
+    # driver-loop iteratives like q53/q66/q67: the trained state
+    # (merges / codebooks / ADC tables) is inlined as plan literals,
+    # so their final DFs are pure projections or rank-limits over the
+    # scan; per-round bodies are the explode+HashAggregate shapes
+    # audited elsewhere. tests/test_bpe.py and test_graph_cluster.py
+    # pin the no-Python-eval property for the encode/assign paths.
     # q66 (pagerank) is an iterative fixed-count loop — like q53, every
     # round is localCheckpoint-materialized, so a static explain shows
     # only the final checkpoint scan; its per-round body is a hash
