@@ -1434,6 +1434,37 @@ def _pq_adc_oracle() -> str:
             + "\nORDER BY adc_dist, vec_id LIMIT 10")
 
 
+def q75_weighted_sample(spark, sf_dir):
+    """Quality-weighted importance sampling (functions/sampling
+    .weighted_sample): keep each doc with probability equal to a
+    quality proxy (length capped at 2000 chars → weight in [0,1]) —
+    high-quality docs survive with certainty, junk proportionally.
+    The acceptance draw is the shared md5 kernel, so the sample is
+    deterministic, resume-stable, and exactly replayable."""
+    from pii_extract_base_spark.functions.sampling import weighted_sample
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("double") / F.lit(2000.0),
+                F.lit(1.0))
+    out = weighted_sample(docs.withColumn("w", w), "doc_id", "w")
+    return out.select("doc_id", F.round("w", 6).alias("w"))
+
+
+def q76_normalized_dedup(spark, sf_dir):
+    """C4-style normalized exact dedup keys: lowercase, strip
+    punctuation to spaces, collapse whitespace, md5 the result —
+    catches reformatted/recased copies raw-md5 dedup (q12) misses.
+    Per-doc output: normalized fingerprint, duplicate-group size, and
+    the keep-first canonical flag (min doc_id per group)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    norm = F.trim(F.regexp_replace(t, "[^a-z0-9]+", " "))
+    base = docs.select("doc_id", F.md5(norm).alias("norm_fp"))
+    w = Window.partitionBy("norm_fp")
+    return (base.withColumn("n_same", F.count("*").over(w).cast("long"))
+                .withColumn("is_canonical",
+                            F.col("doc_id") == F.min("doc_id").over(w)))
+
+
 def q41_daily_orders_vs_events(spark, sf_dir):
     """FULL OUTER join of two daily activity series (non-overlapping
     ranges produce one-sided rows; counts coalesced so both engines
@@ -1527,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_bpe_token_stats": q72_bpe_token_stats,
         "q73_pq_codes": q73_pq_codes,
         "q74_pq_adc_topk": q74_pq_adc_topk,
+        "q75_weighted_sample": q75_weighted_sample,
+        "q76_normalized_dedup": q76_normalized_dedup,
     }
 
 
@@ -1650,6 +1683,8 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from pii_extract_base_spark.functions.quality import rules_duckdb_exprs
+    from pii_extract_base_spark.functions.hashing import (
+        md5_mod_sql as _md5_mod_sql)
     from pii_extract_base_spark.functions.htmlextract import (
         html_to_text_sql, render_html_sql)
     from pii_extract_base_spark.operators.similarity import _hyperplanes
@@ -2411,6 +2446,34 @@ def oracle_sql() -> dict[str, str]:
         "q72_bpe_token_stats": _bpe_encode_oracle(),
         "q73_pq_codes": _pq_oracle(),
         "q74_pq_adc_topk": _pq_adc_oracle(),
+        "q75_weighted_sample": f"""
+            SELECT doc_id,
+                   round(least(n_chars::DOUBLE / (2000.0)::DOUBLE,
+                               (1.0)::DOUBLE), 6) AS w
+            FROM documents
+            WHERE {_md5_mod_sql("coalesce(doc_id::VARCHAR, '')",
+                                10000)}
+                  / (10000.0)::DOUBLE
+                  < least(greatest(least(n_chars::DOUBLE
+                                         / (2000.0)::DOUBLE,
+                                         (1.0)::DOUBLE),
+                                   (0.0)::DOUBLE), (1.0)::DOUBLE)
+        """,
+        "q76_normalized_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       md5(trim(regexp_replace(
+                           lower(coalesce(text, '')),
+                           '[^a-z0-9]+', ' ', 'g'))) AS norm_fp
+                FROM documents
+            )
+            SELECT doc_id, norm_fp,
+                   count(*) OVER (PARTITION BY norm_fp)::BIGINT
+                       AS n_same,
+                   doc_id = min(doc_id) OVER (PARTITION BY norm_fp)
+                       AS is_canonical
+            FROM base
+        """,
         "q70_mixture_sample": """
             WITH ranked AS (
                 SELECT doc_id, source,

@@ -165,3 +165,21 @@ def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
     return (df.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") <= quota)
               .drop("_rn"))
+
+
+def weighted_sample(df: DataFrame, key_col: str,
+                    weight_col: str) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to
+    its weight in [0,1] (quality-weighted corpus downsampling — keep
+    high-quality docs with certainty, junk proportionally). The
+    acceptance draw is the shared md5 kernel scaled to [0,1)
+    (functions/hashing), so the decision is a pure function of the
+    key: deterministic, resume-stable, partitioning-independent, and
+    engine-replayable — `u < w` replays as
+    ``(md5-slice % 10000)/10000.0 < w`` on any engine. Weights are
+    clamped to [0,1]; granularity is 1/10000 (same bucket arithmetic
+    + bias note as stratified_sample)."""
+    u = hash_bucket(key_col) / F.lit(float(BUCKETS))
+    w = F.least(F.greatest(F.col(weight_col).cast("double"),
+                           F.lit(0.0)), F.lit(1.0))
+    return df.where(u < w)

@@ -1259,3 +1259,24 @@ def test_asof_null_keys_never_match(spark):
                       right_ts="ts", right_cols=["v"],
                       how="inner").collect()
     assert [r["k"] for r in inner] == ["k"]
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    from pii_extract_base_spark.functions.sampling import weighted_sample
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, (i % 10) / 10.0) for i in range(n)],
+        "doc_id long, w double")
+    kept = weighted_sample(df, "doc_id", "w")
+    # expected keep fraction = mean weight = 0.45; md5-uniform draw
+    rate = kept.count() / n
+    assert abs(rate - 0.45) < 0.03
+    # weight 0 rows can never survive; weight clamps handle w>1
+    assert kept.where("w = 0.0").count() == 0
+    big = df.withColumn("w", F.col("w") + 10.0)     # clamp to 1.0
+    assert weighted_sample(big, "doc_id", "w").count() == n
+    # deterministic and partitioning-independent
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {r["doc_id"] for r in
+         weighted_sample(df.repartition(13), "doc_id", "w").collect()}
+    assert a == b
