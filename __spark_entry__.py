@@ -640,10 +640,16 @@ def q48_salted_skew_join(spark, sf_dir):
 def q49_quality_quantile_cut(spark, sf_dir):
     """Per-stratum percentile curation: keep the longest 40% of each
     language's documents (n_chars as the quality proxy; doc_id
-    tiebreak makes the cut total and replayable)."""
-    from pii_extract_base_spark.functions.sampling import quantile_cut
+    tiebreak makes the cut total and replayable). Routed through
+    quantile_cut_scalable — quota = max(1, floor(0.4·n + 1e-9)) per
+    language via a two-phase score-bin histogram: NO per-language sort
+    (a rank window would hand one reducer the entire `en` stratum at
+    corpus scale); only the boundary tie-band bin pays an exact
+    row_number."""
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
     docs = _t(spark, sf_dir, "documents")
-    kept = quantile_cut(docs, "lang", "n_chars", 0.4, "doc_id")
+    kept = quantile_cut_scalable(docs, "lang", "n_chars", 0.4, "doc_id")
     return kept.select("doc_id", "lang", "n_chars")
 
 
@@ -1087,7 +1093,7 @@ def q67_logreg_quality(spark, sf_dir):
     """Distributed logistic regression (operators/lr): full-batch GD
     quality classifier fit on four native document signals against the
     Gopher-rule keep label — the engine-native analogue of fastText's
-    linear classifier (north-star N1). 12 quantized rounds, each one
+    linear classifier (north-star N1). _LR_ITERS quantized rounds, each one
     scan + one k+1-scalar aggregate; weights are plan literals
     (codegen sigmoid, no UDF). Returns the fitted weights + training
     accuracy; the DuckDB oracle replays every round as unrolled CTEs."""
@@ -1188,7 +1194,9 @@ def q69_skew_stats(spark, sf_dir):
 def q70_mixture_sample(spark, sf_dir):
     """Dataset mixing (functions/sampling.mixture_sample): assemble a
     60-doc corpus targeting 60/30/10 proportions over three sources —
-    deterministic md5-order pick per stratum, one window, no joins.
+    deterministic md5-order pick per stratum via the two-phase
+    md5-prefix histogram (no full-stratum sort; only the boundary
+    bucket pays an exact window — see mixture_sample's docstring).
     src0's 0.6 share (quota 36) exceeds its 25 available docs, so the
     output also proves the documented shortfall semantics (all 25
     picked, no reflow)."""
@@ -1398,9 +1406,14 @@ def q74_pq_adc_topk(spark, sf_dir):
         lut = F.array(*[F.lit(x) for x in tbl])
         dist_cols.append(F.element_at(lut, F.col(f"c{s}") + 1))
     adc = F.round(sum(dist_cols[1:], dist_cols[0]), 6)
+    # a code pointing at an EMPTY k-means cluster (no centroid) yields a
+    # NULL LUT entry → NULL adc; drop those rows explicitly so both
+    # engines agree (the oracle's inner join on adc{s}.cid drops them;
+    # Spark's asc-nulls-first would otherwise rank them INTO the top-10)
     return (coded.where(F.col("vec_id") != 0)
                  .select("vec_id", adc.alias("adc_dist"),
                          "c0", "c1", "c2", "c3")
+                 .where(F.col("adc_dist").isNotNull())
                  .orderBy("adc_dist", "vec_id").limit(10))
 
 
@@ -2346,13 +2359,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN dim d USING (event_type)
         """,
         "q49_quality_quantile_cut": """
+            -- quota = max(1, floor(0.4·n + 1e-9)) per language, top
+            -- rows by (n_chars DESC, doc_id ASC) — the same IEEE
+            -- arithmetic quantile_cut_scalable evaluates
+            WITH q AS (
+                SELECT lang,
+                       greatest(1, floor(CAST(0.4 AS DOUBLE) * count(*)
+                                         + 1e-9))::BIGINT AS quota
+                FROM documents GROUP BY lang
+            )
             SELECT doc_id, lang, n_chars FROM (
-                SELECT doc_id, lang, n_chars,
-                       percent_rank() OVER (
-                           PARTITION BY lang
-                           ORDER BY n_chars DESC, doc_id ASC) AS pr
-                FROM documents
-            ) WHERE pr <= 0.4
+                SELECT d.doc_id, d.lang, d.n_chars, q.quota,
+                       row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents d JOIN q USING (lang)
+            ) WHERE rn <= quota
         """,
         "q50_domain_cap": """
             SELECT doc_id, source, pick FROM (

@@ -115,6 +115,98 @@ def quantile_cut_approx(df: DataFrame, strata_col: str, score_col: str,
               .drop("_thr"))
 
 
+def quantile_cut_scalable(df: DataFrame, strata_col: str, score_col: str,
+                          keep_frac: float, tiebreak_col: str,
+                          ascending: bool = False) -> DataFrame:
+    """EXACT per-stratum quantile cut without a full-stratum sort —
+    the scale-safe rendering of ``quantile_cut``'s job ('top 40% by
+    quality per language', where the `en` stratum is most of the
+    corpus and a per-stratum rank window would hand one reducer the
+    whole language).
+
+    Semantics: keep the best ``quota = max(1, floor(keep_frac·n_s +
+    1e-9))`` rows of each stratum s under the total order (score desc
+    — or asc —, tiebreak asc); the +1e-9 is ``mixture_quotas``' exact-
+    arithmetic rule (a bare IEEE product turns 0.4·250 into
+    100.000…01, which ceil/int would mis-round by one), and the
+    max(1,·) keeps every non-empty stratum represented. Same two-phase histogram selection as
+    ``mixture_sample``, with the histogram built on SCORE bins instead
+    of an md5 prefix:
+
+      1. per-stratum (count, min, max) of the score — one map-combined
+         aggregate over the corpus.
+      2. 65536 uniform score bins between min and max; a second
+         map-combined aggregate counts rows per (stratum, bin). Both
+         engines evaluate the identical IEEE expression
+         ``least(65535, floor((score − min) · (65536.0/(max − min))))``
+         so bin ids are bit-equal cross-engine.
+      3. walking bins from the keep side, the cumulative count finds
+         the cutoff bin per stratum; whole bins beyond it pass by
+         broadcast filter, and only the boundary tie band
+         (expected n_s/65536 rows — all score TIES at the boundary
+         land in one bin and are resolved there by the tiebreak) pays
+         an exact row_number window.
+
+    Degenerate stratum (min == max): every row is one bin → the band
+    is the whole stratum and the window sorts it all; a constant-score
+    stratum has no meaningful quantile anyway. Scores must be
+    non-NULL (NULL rows are dropped, stated here so both renderings
+    agree)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")
+    from pyspark.sql import Window
+    NB = float(COARSE_BUCKETS)
+    sc = F.col(score_col).cast("double")
+    base = df.where(sc.isNotNull())
+    ext = base.groupBy(strata_col).agg(
+        F.count("*").alias("_n"), F.min(sc).alias("_mn"),
+        F.max(sc).alias("_mx"))
+    ext = ext.withColumn(
+        "_quota",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.lit(float(keep_frac)) * F.col("_n")
+                    + F.lit(1e-9)).cast("long")))
+    binc = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(F.lit(int(NB) - 1),
+                F.floor((sc - F.col("_mn"))
+                        * (F.lit(NB) / (F.col("_mx") - F.col("_mn"))))
+                 .cast("long"))
+    ).otherwise(F.lit(0))
+    scored = (base.join(F.broadcast(ext), strata_col)
+                  .withColumn("_bin", binc))
+    hist = (scored.groupBy(strata_col, "_bin")
+                  .agg(F.count("*").alias("_c"),
+                       F.first("_quota").alias("_q")))
+    order = F.asc("_bin") if ascending else F.desc("_bin")
+    wcum = (Window.partitionBy(strata_col).orderBy(order)
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    agg_cut = (F.min("_bin") if ascending else F.max("_bin"))
+    cut = (cum.where(F.col("_cum") >= F.col("_q"))
+              .groupBy(strata_col).agg(agg_cut.alias("_cutbin"))
+              .withColumnRenamed(strata_col, "_s"))
+    rem = (cum.join(cut, (F.col(strata_col) == F.col("_s"))
+                    & (F.col("_bin") == F.col("_cutbin")))
+              .select(F.col(strata_col), F.col("_cutbin"),
+                      (F.col("_q") - (F.col("_cum") - F.col("_c")))
+                      .alias("_rem")))
+    joined = scored.join(F.broadcast(rem), strata_col)
+    passed = (F.col("_bin") < F.col("_cutbin") if ascending
+              else F.col("_bin") > F.col("_cutbin"))
+    below = joined.where(passed)
+    band = joined.where(F.col("_bin") == F.col("_cutbin"))
+    sorder = [F.asc(score_col) if ascending else F.desc(score_col),
+              F.asc(tiebreak_col)]
+    wband = Window.partitionBy(strata_col).orderBy(*sorder)
+    band = (band.withColumn("_rn", F.row_number().over(wband))
+                .where(F.col("_rn") <= F.col("_rem")).drop("_rn"))
+    drop = ["_n", "_mn", "_mx", "_quota", "_bin", "_cutbin", "_rem"]
+    return below.drop(*drop).unionByName(band.drop(*drop))
+
+
 def per_key_cap(df: DataFrame, key_col: str, cap: int,
                 order_col: str) -> DataFrame:
     """At most ``cap`` rows per key, chosen deterministically by
@@ -131,6 +223,34 @@ def per_key_cap(df: DataFrame, key_col: str, cap: int,
               .drop("_rn"))
 
 
+def mixture_quotas(shares: dict, budget: int) -> Dict[str, int]:
+    """floor(share·budget) per stratum, with EXACT arithmetic: a bare
+    int(share*budget) floors the float-perturbed product (0.29·100 →
+    28.999…96 → 28, one row short of the documented floor); the +1e-9
+    nudge restores exact-integer products while never promoting a
+    genuinely fractional quota (shares have far fewer than 9 decimals
+    of intent)."""
+    import math
+    return {s: math.floor(share * budget + 1e-9)
+            for s, share in shares.items()}
+
+
+#: coarse histogram width for the two-phase samplers: the first 4 hex
+#: chars of md5 → 65536 buckets. The bucket is a PREFIX of the full
+#: md5 ordering key, so bucket order is consistent with md5 order and
+#: the two-phase pick selects EXACTLY the rows the naive full-stratum
+#: row_number window would.
+COARSE_BUCKETS = 65_536
+
+
+def _md5_order_cols(key_col: str):
+    """(full md5 hex, coarse bucket) of the selection key — the total
+    order and its 16-bit prefix histogram bucket."""
+    h = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
+    b = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    return h, b
+
+
 def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
                    shares: dict, budget: int) -> DataFrame:
     """Assemble a fixed-budget corpus with target per-stratum
@@ -144,27 +264,69 @@ def mixture_sample(df: DataFrame, strata_col: str, key_col: str,
     visible in the output counts — no silent reflow to other strata,
     which would change the mixture semantics).
 
-    One per-stratum window (row_number over md5 order, key tiebreak)
-    + a literal CASE quota — no joins, one shuffle on the stratum key.
+    Scale shape — NO full-stratum sort. Mixing runs over the entire
+    kept corpus, last, with stratum = data SOURCE (cardinality ~5), so
+    a per-stratum row_number window would hand one reducer task an
+    entire source. Instead the rank-quota selection is two-phase over
+    a 65536-bucket md5-prefix histogram:
+
+      1. histogram: groupBy(stratum, bucket).count() — map-side
+         combined, ≤ 65536·|strata| rows; the only corpus-wide pass.
+      2. cutoff: a running sum over the TINY histogram finds, per
+         stratum, the first bucket B where the cumulative count
+         reaches the quota, and the residual rank inside B.
+      3. keep: rows with bucket < B pass by broadcast filter (no
+         shuffle of the corpus); only the boundary TIE BAND
+         (bucket == B, expected stratum_count/65536 rows) goes through
+         an exact row_number window — bounded, skew-free.
+
+    Because the bucket is an order-prefix of the md5 key, the selected
+    set is bit-identical to the naive window's, so the DuckDB replay
+    (a plain rank window at eval scale) still hash-matches. A stratum
+    whose count never reaches its quota has no cutoff row and is kept
+    whole (the documented shortfall path).
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1: {budget}")
     if not shares:
         raise ValueError("shares must be non-empty")
     from pyspark.sql import Window
+    quotas = mixture_quotas(shares, budget)
     quota = None
-    for s, share in shares.items():
-        q = int(share * budget)
+    for s in sorted(quotas):
         cond = F.col(strata_col) == s
-        quota = (F.when(cond, q) if quota is None
-                 else quota.when(cond, q))
+        q = F.lit(quotas[s])
+        quota = F.when(cond, q) if quota is None else quota.when(cond, q)
     quota = quota.otherwise(F.lit(0))
-    h = F.md5(F.coalesce(F.col(key_col).cast("string"), F.lit("")))
-    w = (Window.partitionBy(strata_col)
-               .orderBy(F.asc(h), F.asc(key_col)))
-    return (df.withColumn("_rn", F.row_number().over(w))
-              .where(F.col("_rn") <= quota)
-              .drop("_rn"))
+
+    h, b = _md5_order_cols(key_col)
+    base = (df.where(F.col(strata_col).isin(list(shares)))
+              .withColumn("_h", h).withColumn("_b", b))
+    hist = base.groupBy(strata_col, "_b").agg(F.count("*").alias("_c"))
+    wcum = (Window.partitionBy(strata_col).orderBy("_b")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    cum = (hist.withColumn("_cum", F.sum("_c").over(wcum))
+               .withColumn("_q", quota))
+    cut = (cum.where(F.col("_cum") >= F.col("_q"))
+              .groupBy(strata_col).agg(F.min("_b").alias("_cutb"))
+              .withColumnRenamed(strata_col, "_s"))
+    rem = (cum.join(cut, (F.col(strata_col) == F.col("_s"))
+                    & (F.col("_b") == F.col("_cutb")))
+              .select(F.col(strata_col), F.col("_cutb"),
+                      (F.col("_q") - (F.col("_cum") - F.col("_c")))
+                      .alias("_rem")))
+
+    joined = base.join(F.broadcast(rem), strata_col, "left")
+    below = joined.where(F.col("_cutb").isNull()
+                         | (F.col("_b") < F.col("_cutb")))
+    band = joined.where(F.col("_b") == F.col("_cutb"))
+    wband = (Window.partitionBy(strata_col)
+                   .orderBy(F.asc("_h"), F.asc(key_col)))
+    band = (band.withColumn("_rn", F.row_number().over(wband))
+                .where(F.col("_rn") <= F.col("_rem")).drop("_rn"))
+    drop = ["_h", "_b", "_cutb", "_rem"]
+    return below.drop(*drop).unionByName(band.drop(*drop))
 
 
 def weighted_sample(df: DataFrame, key_col: str,

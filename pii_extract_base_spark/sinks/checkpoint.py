@@ -378,10 +378,19 @@ class CheckpointedSink:
         consumer (e.g. `dedup_incremental`'s new batch, or a training
         job that wants only what landed since its last run) reads
         instead of re-scanning the table. ``from_commit=-1`` returns
-        everything up to ``to_commit``."""
+        everything up to ``to_commit``. Bounds are validated like
+        ``read``'s ``as_of_commit``: ``from_commit`` >= -1 and
+        ``to_commit`` (when given) inside [0, n_commits) — a negative
+        slice would silently return the wrong commit range."""
         entries = self.manifest_entries()
         if not entries:
             raise FileNotFoundError(f"no commits in {self.path}")
+        if from_commit < -1:
+            raise ValueError(f"from_commit must be >= -1: {from_commit}")
+        if to_commit is not None and not 0 <= to_commit < len(entries):
+            raise ValueError(
+                f"to_commit out of range [0, {len(entries) - 1}]: "
+                f"{to_commit}")
         hi = len(entries) - 1 if to_commit is None else to_commit
         new = sorted({e["partition_id"]
                       for e in entries[from_commit + 1: hi + 1]})

@@ -1,0 +1,156 @@
+"""Scale-safe samplers (functions/sampling): the two-phase histogram
+renderings of mixture_sample and quantile_cut must (a) select exactly
+the rows the naive full-stratum rank window would, and (b) carry no
+full-stratum sort in their physical plans — the 100-TB hazard the
+round-3 verdict flagged (one reducer task sorting an entire source /
+language)."""
+
+import hashlib
+import io
+import math
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+
+def _naive_mixture(rows, shares, budget):
+    """Reference pick: per stratum, the floor(share·budget + 1e-9)
+    rows with the smallest (md5(str(key)), key)."""
+    out = set()
+    for s, share in shares.items():
+        quota = math.floor(share * budget + 1e-9)
+        members = sorted((r for r in rows if r[1] == s),
+                         key=lambda r: (_md5(str(r[0])), r[0]))
+        out |= {r[0] for r in members[:quota]}
+    return out
+
+
+def test_mixture_matches_naive_window_pick(spark):
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    rows = [(i, f"s{i % 4}") for i in range(997)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    shares = {"s0": 0.5, "s1": 0.29, "s2": 0.2, "s3": 0.0}
+    got = {r["doc_id"] for r in
+           mixture_sample(df, "src", "doc_id", shares, 100).collect()}
+    assert got == _naive_mixture(rows, shares, 100)
+
+
+def test_mixture_exact_quota_arithmetic():
+    """ADVICE r3: int(share·budget) truncated the float-perturbed
+    product one short of the exact floor."""
+    from pii_extract_base_spark.functions.sampling import mixture_quotas
+    assert mixture_quotas({"a": 0.29}, 100) == {"a": 29}
+    assert mixture_quotas({"a": 0.145}, 200) == {"a": 29}
+    assert mixture_quotas({"a": 0.57}, 100) == {"a": 57}
+    assert mixture_quotas({"a": 0.335}, 10) == {"a": 3}   # true fraction
+
+
+def test_mixture_plan_has_no_full_stratum_sort(spark):
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    df = spark.createDataFrame([(i, f"s{i % 2}") for i in range(50)],
+                               "doc_id long, src string")
+    out = mixture_sample(df, "src", "doc_id", {"s0": 0.5, "s1": 0.5}, 20)
+    plan = _plan(out)
+    # the only row_number window runs on the boundary tie band, which
+    # sits above a Filter on the broadcast cutoff bucket (_cutb); the
+    # pass-through branch is a plain broadcast-join filter
+    assert "row_number" in plan
+    assert "_cutb" in plan
+    assert "percent_rank" not in plan
+    # histogram phase present: an aggregate over the md5-prefix bucket
+    assert "_cum" in plan or "_c" in plan
+
+
+def test_mixture_skewed_stratum(spark):
+    """One stratum owns ~95% of the rows; the selection must still be
+    exactly the naive pick (the whole point of the histogram path is
+    that this case no longer needs a single-task sort)."""
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    rows = ([(i, "big") for i in range(20_000)]
+            + [(100_000 + i, "small") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    shares = {"big": 0.9, "small": 0.1}
+    got = {r["doc_id"] for r in
+           mixture_sample(df, "src", "doc_id", shares, 1000).collect()}
+    assert got == _naive_mixture(rows, shares, 1000)
+    assert len(got) == 900 + 50    # small understocked: all 50, no reflow
+
+
+# ---------------------------------------------------------------------------
+# quantile_cut_scalable
+
+def _naive_cut(rows, keep_frac, ascending=False):
+    """Reference: per stratum, quota = max(1, floor(kf·n + 1e-9)) rows
+    under (score desc|asc, id asc)."""
+    out = set()
+    strata = {r[1] for r in rows}
+    for s in strata:
+        members = [r for r in rows if r[1] == s]
+        quota = max(1, math.floor(keep_frac * len(members) + 1e-9))
+        members.sort(key=lambda r: (r[2] if ascending else -r[2], r[0]))
+        out |= {r[0] for r in members[:quota]}
+    return out
+
+
+@pytest.mark.parametrize("ascending", [False, True])
+def test_quantile_cut_scalable_matches_naive(spark, ascending):
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
+    # heavy ties (score = i % 13) force tiebreak resolution in the
+    # boundary bin; stratum sizes 700 / 250 / 1
+    rows = ([(i, "en", float(i % 13)) for i in range(700)]
+            + [(1000 + i, "fr", float((i * 7) % 50)) for i in range(250)]
+            + [(9999, "xx", 3.0)])
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    got = {r["id"] for r in
+           quantile_cut_scalable(df, "g", "score", 0.4, "id",
+                                 ascending=ascending).collect()}
+    assert got == _naive_cut(rows, 0.4, ascending)
+
+
+def test_quantile_cut_scalable_constant_score_stratum(spark):
+    """min == max collapses to one bin — the documented degenerate
+    fallback must still return exactly quota rows."""
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
+    rows = [(i, "c", 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    got = sorted(r["id"] for r in
+                 quantile_cut_scalable(df, "g", "score", 0.4, "id")
+                 .collect())
+    assert got == list(range(8))      # ties -> id asc tiebreak
+
+
+def test_quantile_cut_scalable_plan_shape(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
+    df = spark.createDataFrame([(i, "g", float(i)) for i in range(50)],
+                               "id long, g string, score double")
+    plan = _plan(quantile_cut_scalable(df, "g", "score", 0.4, "id"))
+    assert "percent_rank" not in plan
+    assert "_cutbin" in plan           # band filter on the cutoff bin
+    assert "row_number" in plan
+
+
+def test_quantile_cut_scalable_validates(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
+    df = spark.createDataFrame([(1, "g", 1.0)],
+                               "id long, g string, score double")
+    with pytest.raises(ValueError):
+        quantile_cut_scalable(df, "g", "score", 0.0, "id")
