@@ -1229,19 +1229,25 @@ def q71_bpe_merges(spark, sf_dir):
 
 
 def q72_bpe_token_stats(spark, sf_dir):
-    """BPE encode-side token counting (operators/bpe.bpe_encode_count):
-    train 6 merges, then count TOKENIZER-accurate doc lengths — the
-    lengths token-budget sharding (q59) and context packing actually
-    need; whitespace counts mis-budget by the compression ratio shown
-    in chars_per_tok. Encode is a pure projection (merge chain inlined
-    as plan literals); the oracle re-derives the same merges via the
-    q71 CTE chain and encodes with them as captured columns."""
+    """BPE encode-side token counting via the PRODUCTION path
+    (operators/bpe.bpe_encode_count_arrow): train 6 merges, then count
+    TOKENIZER-accurate doc lengths — the lengths token-budget sharding
+    (q59) and context packing actually need; whitespace counts
+    mis-budget by the compression ratio shown in chars_per_tok. Encode
+    is a broadcast merge-ranks table + Arrow-batched kernel with a
+    per-task word cache: plan size is INDEPENDENT of merge count
+    (the plan-literal twin `bpe_encode_count` grows one nested replace
+    per merge and is kept for the ≤10-merge codegen demo; the parity
+    test pins both paths identical, so this oracle — which re-derives
+    the merges via the q71 CTE chain — covers either)."""
     from pii_extract_base_spark.operators.bpe import (
-        bpe_encode_count, bpe_train)
+        bpe_encode_count_arrow, bpe_train)
     from pii_extract_base_spark.functions.textstats import token_count
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", rounds=6)
-    out = bpe_encode_count(docs, merges)
+    # manual projection: mapInPandas is a column-pruning barrier, so
+    # hand it only the two columns the query needs
+    out = bpe_encode_count_arrow(docs.select("doc_id", "text"), merges)
     chars = F.length(F.coalesce(F.col("text"), F.lit("")))
     return out.select(
         "doc_id",

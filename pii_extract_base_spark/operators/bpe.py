@@ -113,6 +113,158 @@ def bpe_encode_count(df: DataFrame, merges, text_col: str = "text",
     return df.withColumn(out_col, total.cast("long"))
 
 
+def _merge_pairs(merges) -> List[Tuple[str, str]]:
+    """Normalize a merge list ([(round, 'a b', cnt)] or ['a b']) to
+    [(left, right)] in rank order."""
+    out = []
+    for m in merges:
+        pair = m[1] if isinstance(m, tuple) else m
+        a, b = pair.split(" ")
+        out.append((a, b))
+    return out
+
+
+def encode_word(word: str, pairs: List[Tuple[str, str]]) -> List[str]:
+    """Apply the merge list to one word — SAME semantics as training
+    and as the plan-literal encoder (`bpe_encode_count`): merges in
+    rank order, each applied in ONE left-to-right non-overlapping
+    pass. (This is deliberately not GPT-2's iterate-lowest-rank loop:
+    that re-visits earlier ranks when later merges create new
+    occurrences, so it would diverge from the replace-chain the
+    training rounds and the DuckDB oracle evaluate.)"""
+    syms = list(word)
+    present = set(syms)
+    for a, b in pairs:
+        if len(syms) < 2 or a not in present or b not in present:
+            continue
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        if len(out) != len(syms):
+            syms = out
+            present = set(syms)
+    return syms
+
+
+def bpe_encode_count_arrow(df: DataFrame, merges,
+                           text_col: str = "text",
+                           out_col: str = "n_bpe_tokens") -> DataFrame:
+    """PRODUCTION encode path: tokenizer-accurate token counts with a
+    broadcast merge-ranks table and an Arrow-batched kernel — the
+    plan-literal chain (`bpe_encode_count`) inlines one nested replace
+    per merge and so grows (and eventually fails to compile) linearly
+    with vocabulary; this plan is a single mapInPandas projection whose
+    SIZE IS INDEPENDENT OF MERGE COUNT (10 or 50 000 merges — same
+    plan). The merge list rides to executors once per task via the
+    closure (a 50k-pair list is ~1 MB — broadcast-variable territory
+    is not needed below ~100 MB).
+
+    Executor-side the kernel is vocabulary-scaled, not token-scaled: a
+    per-task dict caches word → token count, so each DISTINCT word in
+    a batch is encoded once (Zipf: the top few thousand words cover
+    most tokens). Semantics are identical to `bpe_encode_count` —
+    asserted by the parity test — so either path satisfies the same
+    oracle."""
+    import pandas as pd
+
+    pairs = _merge_pairs(merges)
+    fields = [f for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out_col}` bigint"])
+
+    def run(batches):
+        cache: dict = {}
+
+        def count_text(text):
+            if text is None:
+                return 0
+            total = 0
+            for w in text.split():
+                c = cache.get(w)
+                if c is None:
+                    c = len(encode_word(w, pairs))
+                    cache[w] = c
+                total += c
+            return total
+
+        for pdf in batches:
+            pdf[out_col] = pd.Series(
+                (count_text(t) for t in pdf[text_col]),
+                index=pdf.index, dtype="int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def bpe_train_batched(df: DataFrame, text_col: str = "text",
+                      num_merges: int = 1000, batch: int = 64,
+                      min_count: int = 2) -> List[Tuple[int, str, int]]:
+    """Batched BPE training — the production fit loop. `bpe_train`
+    runs 2 Spark jobs per merge, fine for the ≤10-merge oracle demo
+    but 10k–50k driver round-trips at a real vocabulary size. This
+    variant fits up to ``batch`` merges per round:
+
+      per round: ONE pair-count job (explode adjacent pairs over the
+      distinct-word table, weighted hash aggregate) → collect the top
+      4·batch candidates (count desc, pair asc) → greedily keep pairs
+      whose SYMBOLS ARE DISJOINT from every pair already kept this
+      round → apply all kept merges as one chained-replace projection
+      + localCheckpoint.
+
+    Disjoint symbols make the batch exact w.r.t. its own counts:
+    merging (a,b) only destroys adjacencies touching a or b, so the
+    pre-round count of a symbol-disjoint (c,d) is still its true
+    count when applied. The documented deviation from textbook BPE is
+    ORDER at batch boundaries: a pair CREATED by this round's merges
+    (e.g. ('ab','c')) cannot be picked until the next round even if
+    its count would beat this round's lower picks — the standard
+    trade in scalable/batched BPE training. ``batch=1`` reproduces
+    `bpe_train` exactly (the parity test pins this).
+
+    Driver state per round is O(batch) pairs; Spark jobs total
+    ~num_merges/batch, independent of corpus size."""
+    wf = (df.select(F.explode(words_col(text_col)).alias("w"))
+            .groupBy("w").agg(F.count("*").alias("n")))
+    cur = (wf.select("w", "n", _sym_col(F.col("w")).alias("sym"))
+             .localCheckpoint())
+    merges: List[Tuple[int, str, int]] = []
+    rnd = 0
+    while len(merges) < num_merges:
+        want = min(batch, num_merges - len(merges))
+        top = (cur.select("n", F.explode(_pair_col(F.col("sym")))
+                          .alias("pair"))
+                  .groupBy("pair").agg(F.sum("n").alias("cnt"))
+                  .where(F.col("cnt") >= min_count)
+                  .orderBy(F.desc("cnt"), F.asc("pair"))
+                  .limit(4 * want).collect())
+        if not top:
+            break
+        used: set = set()
+        chosen = []
+        for row in top:
+            a, b = row["pair"].split(" ")
+            if a in used or b in used:
+                continue
+            used.update((a, b, a + b))
+            chosen.append((row["pair"], int(row["cnt"])))
+            if len(chosen) >= want:
+                break
+        sym = F.col("sym")
+        for pair, cnt in chosen:
+            rnd += 1
+            merges.append((rnd, pair, cnt))
+            sym = F.replace(sym, F.lit(f" {pair} "),
+                            F.lit(" " + pair.replace(" ", "") + " "))
+        cur = (cur.withColumn("sym", sym).localCheckpoint())
+    return merges
+
+
 def bpe_encode_count_sql(words_list_expr: str, merges) -> str:
     """DuckDB rendering of `bpe_encode_count`'s count expression."""
     pairs = [m[1] if isinstance(m, tuple) else m for m in merges]
