@@ -1500,6 +1500,95 @@ def q41_daily_orders_vs_events(spark, sf_dir):
                       F.coalesce("n_events", F.lit(0)).alias("n_events")))
 
 
+_CHUNK_WORDS = 8
+
+
+def _chunked_docs(spark, sf_dir):
+    """documents split into fixed 8-word chunks — the deterministic
+    multi-chunk corpus q77/q78 run over (both engines derive the SAME
+    chunks from the same parquet words)."""
+    from pii_extract_base_spark.functions.textstats import words_col
+    docs = _t(spark, sf_dir, "documents")
+    words = words_col("text")
+    n = F.size(words)
+    W = _CHUNK_WORDS
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(W)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * W + 1, W), " ")
+    )).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", "lang", chunks.alias("chunks"))
+
+
+def q77_chunked_detect(spark, sf_dir):
+    """Distributed chunk-tree PII detection (operators/detect.
+    detect_chunked — closes SURVEY §2.3 D1 on the DataFrame plane):
+    posexplode the chunked synth-pages corpus, attach lag/lead
+    neighbor context, run the kernel detect UDF per chunk WITH that
+    context (reference api/processor.py:284 iter_full(context=True)),
+    reassemble per-document collections with doc-level first-use
+    detector numbering (D12). Pages are chunked by sentence line, so
+    the context-validated phone task must see the previous line's
+    keyword. Kernel regexes aren't DuckDB-replayable → rows-only here;
+    byte parity with the local chunk-tree API is pinned by
+    tests/test_detect_chunked.py."""
+    from pii_extract_base_spark.operators.detect import detect_chunked
+    from pii_extract_base_spark.sources.pages import synth_pages
+    pages = synth_pages(spark, sf_dir)
+    chunked = pages.select(
+        F.col("url").alias("doc_id"), "lang",
+        F.filter(F.split(F.col("text"), "\n"),
+                 lambda c: c != "").alias("chunks"))
+    out = detect_chunked(chunked, LANGS, id_col="doc_id")
+    per_doc = out.withColumn(
+        "n_phone", F.size(F.filter(
+            F.col("entities"),
+            lambda e: e["type"] == "PHONE_NUMBER")).cast("long"))
+    return (per_doc.groupBy("lang")
+                   .agg(F.count("*").cast("long").alias("n_docs"),
+                        F.sum("n_chunks").cast("long").alias("n_chunks"),
+                        F.sum("n_entities").cast("long")
+                         .alias("n_entities"),
+                        F.sum("n_phone").cast("long").alias("n_phone")))
+
+
+def q78_chunk_context_scan(spark, sf_dir):
+    """The SQL-twin of the D1 shape, fully oracle-able: posexplode the
+    8-word-chunked documents, lag() the previous chunk as before-
+    context, then a context-validated term scan with the kernel's
+    window arithmetic (kernel/context.py: last-16-chars window LEFT of
+    the span over before‖chunk) rendered natively — find the first
+    ' value ' term per chunk and validate it iff 'table' appears in
+    right(before ‖ chunk-prefix, 16). Everything stays in codegen:
+    split/slice/locate/right, one window for lag, one hash agg."""
+    from pyspark.sql import Window
+    ch = _chunked_docs(spark, sf_dir)
+    ex = ch.select("doc_id", "lang",
+                   F.posexplode("chunks").alias("chunk", "ctext"))
+    w = Window.partitionBy("doc_id").orderBy("chunk")
+    ex = ex.withColumn("before", F.lag("ctext").over(w))
+    hits = (ex
+            # 1-based span start of the first ' value ' term (0 = absent);
+            # sentinel spaces give word boundaries, and the position maps
+            # back to ctext exactly (padded index of the boundary space
+            # == ctext index of the term's first char)
+            .withColumn("pos",
+                        F.expr("locate(' value ', "
+                               "' ' || ctext || ' ')"))
+            .withColumn("leftside",
+                        F.expr("concat(coalesce(before, ''), "
+                               "substring(ctext, 1, "
+                               "greatest(pos - 1, 0)))"))
+            .withColumn("hit", (F.col("pos") > 0).cast("int"))
+            .withColumn("valid",
+                        F.expr("cast(pos > 0 AND "
+                               "contains(right(leftside, 16), 'table') "
+                               "AS int)")))
+    return (hits.groupBy("doc_id")
+                .agg(F.count("*").cast("long").alias("n_chunks"),
+                     F.sum("hit").cast("long").alias("n_hits"),
+                     F.sum("valid").cast("long").alias("n_ctx_valid")))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1579,6 +1668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_pq_adc_topk": q74_pq_adc_topk,
         "q75_weighted_sample": q75_weighted_sample,
         "q76_normalized_dedup": q76_normalized_dedup,
+        "q77_chunked_detect": q77_chunked_detect,
+        "q78_chunk_context_scan": q78_chunk_context_scan,
     }
 
 
@@ -2501,6 +2592,50 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) OVER (PARTITION BY norm_fp)
                        AS is_canonical
             FROM base
+        """,
+        "q78_chunk_context_scan": f"""
+            -- D1 SQL twin: same 8-word chunking, lag() before-context,
+            -- first-' value '-term scan with the 16-char left window
+            WITH base AS (
+                SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+            ),
+            ch AS (
+                SELECT doc_id, u.chunk AS chunk, u.ctext AS ctext FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(words) > 0 THEN
+                               list_transform(
+                                   range(CAST(ceil(len(words) / 8.0)
+                                              AS BIGINT)),
+                                   i -> struct_pack(
+                                       chunk := i,
+                                       ctext := array_to_string(
+                                           words[i*8+1 : i*8+8], ' ')))
+                               ELSE [] END) AS u
+                    FROM base)
+            ),
+            lagd AS (
+                SELECT doc_id, chunk, ctext,
+                       lag(ctext) OVER (PARTITION BY doc_id
+                                        ORDER BY chunk) AS before
+                FROM ch
+            ),
+            hits AS (
+                SELECT doc_id,
+                       position(' value ' IN ' ' || ctext || ' ') AS pos,
+                       coalesce(before, '')
+                           || substr(ctext, 1,
+                                     greatest(position(' value ' IN
+                                         ' ' || ctext || ' ') - 1, 0))
+                           AS leftside
+                FROM lagd
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN pos > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_hits,
+                   sum(CASE WHEN pos > 0 AND
+                            contains(right(leftside, 16), 'table')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_ctx_valid
+            FROM hits GROUP BY doc_id
         """,
         "q70_mixture_sample": """
             WITH ranked AS (

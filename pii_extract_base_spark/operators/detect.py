@@ -154,3 +154,166 @@ def make_fused_udf(languages: Tuple[str, ...],
         })
 
     return fused_udf
+
+
+# ---------------------------------------------------------------------------
+# Distributed multi-chunk document detection (SURVEY §2.3 D1)
+
+# chunk-level entity: detector identity as a KEY string; the dense
+# doc-level detector int is assigned afterwards in Spark (D12 semantics
+# need the whole document, which no single chunk row sees)
+CHUNK_ENTITY_STRUCT = ("struct<type:string,subtype:string,value:string,"
+                       "start:long,end:long,lang:string,country:string,"
+                       "detector_key:string,method:string,stage:string>")
+
+CHUNK_DETECT_SCHEMA = (f"struct<entities:array<{CHUNK_ENTITY_STRUCT}>,"
+                       f"scrubbed_text:string,n_entities:int>")
+
+
+def make_chunk_detect_udf(languages: Tuple[str, ...],
+                          config_json: Optional[str] = None):
+    """Arrow pandas UDF for ONE CHUNK + its neighbor context — the
+    distributed rendering of reference ``api/processor.py:284``
+    (``doc.iter_full(context=True)``: each chunk is detected with the
+    previous/next chunk's text as its before/after context, so
+    context-validated tasks — e.g. the phone detector's 'ph/phone/fax'
+    window — can validate across chunk boundaries exactly like the
+    local API (kernel/processor.py SrcDocument.iter_full)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    langs_t = tuple(languages)
+
+    @pandas_udf(CHUNK_DETECT_SCHEMA)
+    def chunk_udf(chunk_id: pd.Series, text: pd.Series,
+                  before: pd.Series, after: pd.Series,
+                  lang: pd.Series, docid: pd.Series) -> pd.DataFrame:
+        proc_cache = {}
+        all_ents, scrubbed, counts = [], [], []
+        for cid, t, bf, af, lg, did in zip(
+                chunk_id.tolist(), text.tolist(), before.tolist(),
+                after.tolist(), lang.tolist(), docid.tolist()):
+            proc = proc_cache.get(lg)
+            if proc is None:
+                proc = get_processor(langs_t, config_json)
+                proc_cache[lg] = proc
+            t = t or ""
+            ctx = {}
+            if bf is not None:
+                ctx["before"] = bf
+            if af is not None:
+                ctx["after"] = af
+            chunk = DocumentChunk(id=str(cid), data=t,
+                                  context=ctx or None)
+            piic = PiiCollectionBuilder(lang=lg, docid=did)
+            proc.detect_chunk(chunk, piic, default_lang=lg)
+            ents = []
+            for p in piic:
+                d = p.asdict()
+                det = piic.get_detector(d["detector"])
+                ents.append({
+                    "type": d["type"], "subtype": d.get("subtype"),
+                    "value": d["value"], "start": d["start"],
+                    "end": d["end"], "lang": d.get("lang"),
+                    "country": d.get("country"),
+                    "detector_key": "|".join(
+                        str(k or "") for k in det.key()),
+                    "method": det.method,
+                    "stage": d.get("process", {}).get("stage"),
+                })
+            spans = [(e["start"], e["end"], e["type"]) for e in ents]
+            all_ents.append(ents)
+            scrubbed.append(scrub_text(t, spans))
+            counts.append(len(ents))
+        return pd.DataFrame({"entities": all_ents,
+                             "scrubbed_text": scrubbed,
+                             "n_entities": counts})
+
+    return chunk_udf
+
+
+def detect_chunked(df, languages: Tuple[str, ...],
+                   id_col: str = "doc_id", chunks_col: str = "chunks",
+                   lang_col: str = "lang",
+                   config_json: Optional[str] = None):
+    """Distributed chunk-tree detection — closes SURVEY §2.3 D1 on the
+    DataFrame plane (reference ``api/processor.py:284``, context
+    behavior ``test/unit/D_api/test_A_processor.py:552``; the local
+    twin is ``kernel/processor.PiiProcessor.detect(chunk_context=
+    True)``, and the parity pytest pins the two byte-identical).
+
+    Plan shape, built for books/transcripts where ONE document can be
+    larger than one executor's memory:
+
+      1. ``posexplode(chunks)`` → one row per chunk; chunks of a
+         document land on (potentially) different executors.
+      2. one window over (doc, pos): ``lag``/``lead`` attach the
+         neighbor chunks' text as before/after context — the only
+         per-document shuffle, and it carries chunk text, not the
+         whole document.
+      3. the Arrow chunk UDF detects per chunk WITH context and
+         scrubs the chunk.
+      4. doc-level dense detector numbering (D12 — first use in
+         position order across the WHOLE document): per (doc,
+         detector_key), the first (chunk, start, end) occurrence is
+         ranked by a window over the tiny per-doc detector set, then
+         joined back — no chunk text in that join.
+      5. per-doc reassembly: entities sorted by (chunk, start, end),
+         scrubbed chunks re-ordered into an array.
+
+    Returns one row per document: (id, lang, n_chunks, n_entities,
+    entities array — each with its ``chunk`` index and doc-level
+    ``detector`` id — and scrubbed_chunks array)."""
+    from pyspark.sql import Window, functions as F
+
+    udf = make_chunk_detect_udf(languages, config_json)
+    ex = df.select(F.col(id_col), F.col(lang_col),
+                   F.posexplode(F.col(chunks_col))
+                    .alias("chunk", "chunk_text"))
+    w = Window.partitionBy(id_col).orderBy("chunk")
+    ex = ex.select(
+        id_col, lang_col, "chunk", "chunk_text",
+        F.lag("chunk_text").over(w).alias("before_ctx"),
+        F.lead("chunk_text").over(w).alias("after_ctx"))
+    res = (ex.withColumn("_r", udf(
+                F.col("chunk"), F.col("chunk_text"),
+                F.col("before_ctx"), F.col("after_ctx"),
+                F.col(lang_col), F.col(id_col).cast("string")))
+             .select(id_col, lang_col, "chunk",
+                     F.col("_r.entities").alias("entities"),
+                     F.col("_r.scrubbed_text").alias("scrubbed_text"),
+                     F.col("_r.n_entities").alias("n_entities")))
+
+    ent = (res.select(id_col, "chunk", F.explode("entities").alias("e"))
+              .select(id_col, "chunk", "e.*"))
+    firsts = (ent.groupBy(id_col, "detector_key")
+                 .agg(F.min(F.struct("chunk", "start", "end"))
+                       .alias("_first")))
+    wnum = Window.partitionBy(id_col).orderBy("_first")
+    nums = (firsts.withColumn("detector", F.row_number().over(wnum))
+                  .drop("_first"))
+    ent = ent.join(nums, [id_col, "detector_key"])
+    doc_ents = (ent.groupBy(id_col)
+                   .agg(F.sort_array(F.collect_list(F.struct(
+                            "chunk", "start", "end", "type", "subtype",
+                            "value", "lang", "country", "detector",
+                            "method", "stage"))).alias("entities")))
+
+    docs = (res.groupBy(id_col, lang_col)
+               .agg(F.count("*").cast("long").alias("n_chunks"),
+                    F.sum("n_entities").cast("long").alias("n_entities"),
+                    F.transform(
+                        F.sort_array(F.collect_list(
+                            F.struct("chunk", "scrubbed_text"))),
+                        lambda s: s["scrubbed_text"])
+                     .alias("scrubbed_chunks")))
+    return (docs.join(doc_ents, id_col, "left")
+                .withColumn("entities",
+                            F.coalesce(F.col("entities"),
+                                       F.array().cast(
+                                           "array<struct<chunk:int,"
+                                           "start:bigint,end:bigint,"
+                                           "type:string,subtype:string,"
+                                           "value:string,lang:string,"
+                                           "country:string,detector:int,"
+                                           "method:string,stage:string>>"))))
