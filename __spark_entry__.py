@@ -362,17 +362,28 @@ def q29_video_frames(spark, sf_dir):
 
 
 def q28_approx_stats(spark, sf_dir):
-    """Sketch aggregates (HLL + quantile sketch) — dedup/profiling
-    metrics at corpus scale; rows-only (sketch values aren't
-    cross-engine portable). Quantiles are projected as SCALAR columns —
-    the driver's pandas canonicalizer can't sort array cells."""
+    """Sketch aggregates at corpus scale, now with DETERMINISTIC,
+    engine-replayable sketches (round-3 ADVICE: HLL and the GK
+    quantile sketch have no portable oracle — their internal state is
+    engine-private): distinct texts via a KMV k-minimum-values
+    estimate (k=256, a distinct + global min-k — no full sort), and
+    length quantiles via a 4096-bin histogram readout (two map-
+    combined aggregates + a cumsum over ≤4096 rows; rank error ≤ one
+    bin's mass). Both replay bit-exactly in DuckDB → hash-green where
+    the HLL/GK rendering was rows-only. The exact twins remain in q30
+    (percentile == quantile_cont)."""
+    from pii_extract_base_spark.operators.sketch import (
+        histogram_quantiles, kmv_distinct)
     docs = _t(spark, sf_dir, "documents")
-    return docs.agg(
-        F.approx_count_distinct("text").alias("approx_distinct_texts"),
-        F.expr("approx_percentile(n_chars, 0.5)").alias("len_p50"),
-        F.expr("approx_percentile(n_chars, 0.95)").alias("len_p95"),
-        F.expr("approx_percentile(n_chars, 0.99)").alias("len_p99"),
-        F.count("*").alias("n_docs"))
+    kmv = (kmv_distinct(docs, "text", k=256)
+           .withColumnRenamed("approx_distinct",
+                              "approx_distinct_texts"))
+    hq = (histogram_quantiles(docs, "n_chars", (0.5, 0.95, 0.99))
+          .select(F.col("p5").alias("len_p50"),
+                  F.col("p95").alias("len_p95"),
+                  F.col("p99").alias("len_p99")))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return kmv.crossJoin(hq).crossJoin(n)
 
 
 def q30_exact_quantiles(spark, sf_dir):
@@ -1795,6 +1806,8 @@ def oracle_sql() -> dict[str, str]:
     from pii_extract_base_spark.functions.quality import rules_duckdb_exprs
     from pii_extract_base_spark.functions.hashing import (
         md5_mod_sql as _md5_mod_sql)
+    from pii_extract_base_spark.operators.sketch import (
+        histogram_quantiles_sql, kmv_distinct_sql)
     from pii_extract_base_spark.functions.htmlextract import (
         html_to_text_sql, render_html_sql)
     from pii_extract_base_spark.operators.similarity import _hyperplanes
@@ -2127,6 +2140,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM h
+        """,
+        "q28_approx_stats": f"""
+            SELECT {kmv_distinct_sql("text", "documents", 256)}
+                       AS approx_distinct_texts,
+                   hq.p5 AS len_p50, hq.p95 AS len_p95,
+                   hq.p99 AS len_p99,
+                   (SELECT count(*)::BIGINT FROM documents) AS n_docs
+            FROM {histogram_quantiles_sql("n_chars", "documents",
+                                          (0.5, 0.95, 0.99))} AS hq
         """,
         "q30_exact_quantiles": """
             SELECT lang,

@@ -114,6 +114,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ``quant`` decimals after every round so partial-aggregation
     summation order cannot drift across engines or runs.
 
+    Round-4 overhead cuts (r3 verdict item 6): the dangling-node test
+    is a STATIC flag computed once before the loop (the old per-round
+    ranks⟕has_out anti-join re-derived the same boolean every round),
+    so the dangling-mass scalar is a plain filtered aggregate over the
+    checkpointed ranks; and rank snapshots older than one round are
+    unpersisted as soon as the next round's checkpoint materializes —
+    executor storage holds ≤ 2 snapshots instead of ``iters``.
+
     The reference has no graph surface; this is the beyond-reference
     web-graph family (host link graph from `extract_links`, q65/q66).
     """
@@ -129,20 +137,26 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     en = (e.join(deg, "s")
            .select("s", "t", (F.col("w") / F.col("deg")).alias("frac"))
            .localCheckpoint())
-    has_out = deg.select(F.col("s").alias("node"))
+    has_out = (deg.select(F.col("s").alias("node"))
+                  .withColumn("_has", F.lit(True)))
     teleport = 1.0 - damping     # bind the double ONCE; oracle inlines repr()
 
-    ranks = (nodes.crossJoin(F.broadcast(ncnt))
-                  .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    ranks = (nodes.join(has_out, "node", "left")
+                  .crossJoin(F.broadcast(ncnt))
+                  .select("node",
+                          (F.lit(1.0) / F.col("n")).alias("rank"),
+                          F.coalesce("_has", F.lit(False))
+                           .alias("has_out"))
                   .localCheckpoint())
     for _ in range(iters):
         contrib = (en.join(ranks, en["s"] == ranks["node"])
                      .groupBy("t")
                      .agg(F.sum(F.col("rank") * F.col("frac")).alias("c")))
-        dang = (ranks.join(has_out, "node", "left_anti")
+        dang = (ranks.where(~F.col("has_out"))
                      .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")))
-        ranks = (nodes
-                 .join(contrib, nodes["node"] == contrib["t"], "left")
+        prev = ranks
+        ranks = (prev
+                 .join(contrib, prev["node"] == contrib["t"], "left")
                  .crossJoin(F.broadcast(dang))
                  .crossJoin(F.broadcast(ncnt))
                  .select(
@@ -152,9 +166,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          + F.lit(damping)
                          * (F.coalesce(F.col("c"), F.lit(0.0))
                             + F.col("dm") / F.col("n")),
-                         quant).alias("rank"))
-                 .localCheckpoint())
-    return ranks
+                         quant).alias("rank"),
+                     "has_out")
+                 .localCheckpoint())      # eager: prev is now dead
+        prev.unpersist()
+    return ranks.select("node", "rank")
 
 
 def pagerank_oracle_sql(edges_cte: str, iters: int = 8,
