@@ -61,6 +61,15 @@ BENCH_QUERIES = [
     "q66_pagerank",
     "q68_url_canonical",
     "q72_bpe_token_stats",
+    # round-4 additions: the re-shaped / newly-oracled operators
+    "q28_approx_stats",          # KMV + histogram-quantile sketches
+    "q49_quality_quantile_cut",  # two-phase scale-safe quantile cut
+    "q53_dup_clusters",          # connected-components dup clustering
+    "q63_ppl_sql",               # SQL perplexity twin
+    "q67_logreg_quality",        # distributed logistic regression
+    "q70_mixture_sample",        # two-phase dataset mixing
+    "q74_pq_adc_topk",           # PQ asymmetric-distance ANN
+    "q78_chunk_context_scan",    # D1 chunk-context scan (SQL twin)
 ]
 
 

@@ -62,7 +62,11 @@ AUDIT = {
     # salted skew join: dimension replicated via Generate (explode),
     # fact side salted — the join key is (event_type, _salt)
     "q48_salted_skew_join": ["Generate"],
-    "q49_quality_quantile_cut": ["Window"],
+    # r4: two-phase exact quantile cut — score-bin histogram aggregate,
+    # broadcast cutoff join, row_number only on the tie-band filter;
+    # the full-stratum percent_rank window is gone
+    "q49_quality_quantile_cut": ["HashAggregate", "Window", "Union",
+                                 "BroadcastHashJoin|BroadcastExchange"],
     "q50_domain_cap": ["Window"],
     # decontamination: broadcast eval shingle probe + anti-join — the
     # training corpus itself never shuffles
@@ -113,8 +117,19 @@ AUDIT = {
     # scalar-bounds BNLJ pattern, same as q40)
     "q69_skew_stats": ["HashAggregate",
                        "BroadcastNestedLoop|BroadcastHashJoin"],
-    # dataset mixing: one per-stratum rank window + literal CASE quota
-    "q70_mixture_sample": ["Window", "Filter"],
+    # r4 dataset mixing: md5-prefix histogram aggregate + broadcast
+    # cutoff; the only row_number window sits on the boundary-bucket
+    # filter, never on a whole stratum
+    "q70_mixture_sample": ["HashAggregate", "Union", "Window"],
+    # r4: KMV distinct (global min-k = TakeOrdered, no full sort of
+    # data) + histogram quantiles (two map-combined aggs + tiny cumsum)
+    "q28_approx_stats": ["HashAggregate", "TakeOrderedAndProject"],
+    # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
+    "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
+    # r4 D1 kernel path: chunk explode + neighbor-context window + ONE
+    # Arrow crossing (the chunk UDF); reassembly is hash aggs + a tiny
+    # per-doc detector-numbering window
+    "q77_chunked_detect": ["Generate", "Window", "ArrowEvalPython"],
     # q71/q72 (BPE train/encode), q73/q74 (PQ codebooks/ADC) are
     # driver-loop iteratives like q53/q66/q67: the trained state
     # (merges / codebooks / ADC tables) is inlined as plan literals,
@@ -166,6 +181,13 @@ FORBID = {
                               "ArrowEvalPython", "BatchEvalPython"],
     "q63_ppl_sql": ["ArrowEvalPython", "BatchEvalPython",
                     "SortAggregate", "CartesianProduct"],
+    # the two-phase samplers must never rank a whole stratum
+    "q49_quality_quantile_cut": ["percent_rank", "CartesianProduct"],
+    "q70_mixture_sample": ["percent_rank", "CartesianProduct"],
+    "q28_approx_stats": ["ArrowEvalPython", "BatchEvalPython",
+                         "SortAggregate"],
+    "q78_chunk_context_scan": ["ArrowEvalPython", "BatchEvalPython",
+                               "CartesianProduct"],
 }
 
 
