@@ -70,19 +70,16 @@ def quantile_cut(df: DataFrame, strata_col: str, score_col: str,
     makes the ordering total, so the cut is deterministic and
     engine-replayable — never rand()-sampled.
 
-    One shuffle on the stratum column. Skewed strata (one language
-    owning most of the corpus) should pre-pass salted_repartition or
-    rely on AQE; the window itself cannot salt (rank is global per
-    stratum by definition) — at 1e12 docs use ``quantile_cut_approx``,
-    which replaces the rank window with a per-stratum approx_percentile
-    sketch threshold: a map-side-combined aggregate (bytes per
-    stratum, immune to stratum skew) broadcast back as a filter. The
-    cut then lands within the sketch's rank error of keep_frac rather
-    than exactly on it, score TIES at the threshold are all kept (no
-    tiebreak ordering exists without the window), and NULL strata are
-    DROPPED by its inner join (here they form their own window
-    partition and are kept per keep_frac) — filter NULL strata first
-    if the two renderings must agree.
+    One shuffle on the stratum column, and ONE REDUCER TASK PER
+    STRATUM — fine for high-cardinality strata, a scale-killer when
+    one language owns most of the corpus. At corpus scale use
+    ``quantile_cut_scalable`` (the r4 default, exact, two-phase
+    histogram — what q49 runs) or ``quantile_cut_approx`` (sketch
+    threshold: within the sketch's rank error of keep_frac, keeps all
+    score ties at the threshold, and DROPS NULL strata via its inner
+    join — filter NULL strata first if renderings must agree). This
+    window rendering is kept as the semantics reference and for small
+    stratified tables.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")

@@ -23,6 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def rest(spark, path):
     base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
     app = spark.sparkContext.applicationId
     with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}",
                                 timeout=10) as r:
@@ -47,22 +49,6 @@ def stage_peaks(spark):
     return peak
 
 
-def longest_task_skew(spark):
-    """max single-task duration vs stage median — the 'one reducer owns
-    a stratum' smoking gun (a healthy plan keeps this ratio small on
-    uniform data)."""
-    stages = rest(spark, "/stages?status=complete")
-    worst = 0.0
-    for st in stages:
-        d = st.get("taskMetricsDistributions")
-        # distributions need ?withSummaries; approximate via stage-level
-        if st.get("numCompleteTasks", 0) >= 8:
-            avg = st["executorRunTime"] / st["numCompleteTasks"]
-            # stage-level proxy only; per-task detail needs event logs
-            worst = max(worst, avg)
-    return worst
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=640)
@@ -77,7 +63,8 @@ def main():
     from pii_extract_base_spark.sources.pages import synth_pages
 
     spark = get_spark(app_name="sf1_rehearsal", cores=args.cores,
-                      shuffle_partitions=args.cores * 4)
+                      shuffle_partitions=args.cores * 4,
+                      extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     out = Path(args.out)
     results = {}
@@ -129,7 +116,13 @@ def main():
     # -- 2. corpus dedup (exact + MinHash-LSH near) -------------------------
     from pii_extract_base_spark.operators.dedup import dedup_corpus
     t0 = time.time()
-    kept = dedup_corpus(big, id_col="doc_id", text_col="text")
+    # the amplified corpus is deliberately boilerplate-heavy (~m near-
+    # copies per seed); max_bucket=50 is the production lever for such
+    # clusters — candidate pairs are bounded by bands·buckets·C(50,2)
+    # instead of C(cluster,2), trading tail recall inside one cluster
+    # (where any survivor represents the cluster anyway)
+    kept = dedup_corpus(big, id_col="doc_id", text_col="text",
+                        max_bucket=50)
     n_kept = kept.count()
     sec = time.time() - t0
     results["dedup_corpus"] = {"sec": round(sec, 1), "in": n_docs,
