@@ -4,8 +4,7 @@ chunk_context=True) — SURVEY §2.3 D1 on the DataFrame plane
 (reference api/processor.py:284, context behavior
 test/unit/D_api/test_A_processor.py:552)."""
 
-from pii_extract_base_spark.kernel.processor import (PiiProcessor,
-                                                     SrcDocument)
+from pii_extract_base_spark.kernel.processor import SrcDocument
 from pii_extract_base_spark.kernel.scrub import scrub_text
 from pii_extract_base_spark.kernel.task import DocumentChunk
 from pii_extract_base_spark.registry.factory import make_processor

@@ -4,8 +4,6 @@ for HLL / approx_percentile whose internal state never crosses
 engines (round-3 ADVICE item for q28)."""
 
 import duckdb
-import pytest
-from pyspark.sql import functions as F
 
 
 def test_kmv_estimate_accuracy_and_determinism(spark):
