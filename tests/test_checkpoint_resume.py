@@ -175,6 +175,14 @@ def test_incremental_diff(spark, tmp_path, pipe):
     empty = sink.diff(spark, from_commit=3)
     assert empty.count() == 0
     assert empty.columns == sink.read(spark).columns
+    # r4 ADVICE: commit bounds validated — a from_commit < -1 used to
+    # turn into a silent negative python slice
+    with pytest.raises(ValueError):
+        sink.diff(spark, from_commit=-2)
+    with pytest.raises(ValueError):
+        sink.diff(spark, from_commit=0, to_commit=len(entries))
+    with pytest.raises(ValueError):
+        sink.diff(spark, from_commit=0, to_commit=-1)
 
 
 def test_manifest_torn_tail_and_untyped_entities(spark, tmp_path):

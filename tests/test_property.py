@@ -85,3 +85,54 @@ def test_stratified_sample_matches_naive(spark, ids, rate):
             if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
             % BUCKETS < thr}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# two-phase samplers (r4): the histogram selection must equal the naive
+# rank-quota pick on arbitrary strata shapes — including heavy ties,
+# singleton strata, and quota edge fractions
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 400), keys),
+                     min_size=1, max_size=40, unique_by=lambda r: r[0]),
+       budget=st.integers(1, 30))
+@settings(**SETTINGS)
+def test_mixture_sample_matches_naive(spark, rows, budget):
+    import math
+    from pii_extract_base_spark.functions.sampling import mixture_sample
+    shares = {"s0": 0.5, "s1": 0.29, "s2": 0.21}
+    df = spark.createDataFrame([(i, f"s{g}") for i, g in rows],
+                               "doc_id long, src string")
+    got = {r["doc_id"] for r in
+           mixture_sample(df, "src", "doc_id", shares, budget).collect()}
+    want = set()
+    for s, share in shares.items():
+        quota = math.floor(share * budget + 1e-9)
+        members = sorted(
+            (i for i, g in rows if f"s{g}" == s),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want |= set(members[:quota])
+    assert got == want
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 500), keys,
+                               st.integers(0, 6)),
+                     min_size=1, max_size=40, unique_by=lambda r: r[0]),
+       frac=st.sampled_from([0.1, 0.29, 0.4, 0.5, 0.9, 1.0]))
+@settings(**SETTINGS)
+def test_quantile_cut_scalable_matches_naive(spark, rows, frac):
+    import math
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
+    df = spark.createDataFrame(
+        [(i, f"g{g}", float(sc)) for i, g, sc in rows],
+        "id long, g string, score double")
+    got = {r["id"] for r in
+           quantile_cut_scalable(df, "g", "score", frac, "id").collect()}
+    want = set()
+    for g in {r[1] for r in rows}:
+        members = [r for r in rows if r[1] == g]
+        quota = max(1, math.floor(frac * len(members) + 1e-9))
+        members.sort(key=lambda r: (-r[2], r[0]))
+        want |= {r[0] for r in members[:quota]}
+    assert got == want
