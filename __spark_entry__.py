@@ -1300,6 +1300,22 @@ def _bpe_encode_oracle() -> str:
     return base.replace("\n__TAIL__", final)
 
 
+def _pq_train(base):
+    """Train the 4 PQ subspace codebooks in ONE shared Lloyd loop:
+    posexplode the 4 16-dim slices (single scan → (sub, vec_id, v16)
+    rows) and run kmeans_grouped — per round ONE assignment projection
+    + ONE (sub, cluster) aggregate, instead of 4 independent driver
+    loops. Returns {sub: [(cid, centroid16)]}; arithmetic identical
+    per subspace to the q55 trainer, as the q73/q74 oracles verify."""
+    from pii_extract_base_spark.operators.cluster import kmeans_grouped
+    slices = F.array(*[F.slice("v", 16 * s + 1, 16) for s in range(4)])
+    subs = base.select("vec_id",
+                       F.posexplode(slices).alias("sub", "v"))
+    _, cents = kmeans_grouped(subs, groups=[0, 1, 2, 3], k=4, iters=2,
+                              group_col="sub", vec_col="v", dim=16)
+    return cents
+
+
 def q73_pq_codes(spark, sf_dir):
     """Product quantization (operators/cluster composed per subspace):
     split each 64-d embedding into 4×16-d subvectors, Lloyd-train a
@@ -1308,16 +1324,18 @@ def q73_pq_codes(spark, sf_dir):
     the memory-scale companion to IVF (q18): 64 floats → 4 small ints,
     with codebooks as broadcast literals so encode is one codegen
     projection. The DuckDB oracle replays all four Lloyd chains over
-    the same slices."""
-    from pii_extract_base_spark.operators.cluster import _sq_dist, kmeans
+    the same slices. r4: the four subspace codebooks train in ONE
+    shared Lloyd loop (kmeans_grouped over posexploded slices — one
+    Spark job per round instead of four; identical per-subspace
+    arithmetic, so the per-chain oracle is untouched)."""
+    from pii_extract_base_spark.operators.cluster import _sq_dist
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).localCheckpoint()
+    codebooks = _pq_train(base)
     out = base
     for s in range(4):
-        sub = base.select(
-            "vec_id", F.slice("v", 16 * s + 1, 16).alias("embedding"))
-        _, cents = kmeans(sub, k=4, iters=2, dim=16)
+        cents = codebooks[s]
         sv = F.slice(F.col("v"), 16 * s + 1, 16)
         best = F.array_min(F.array(*[
             F.struct(_sq_dist(sv, c).alias("dist"),
@@ -1387,18 +1405,17 @@ def q74_pq_adc_topk(spark, sf_dir):
     memory-bandwidth profile that makes PQ the billion-vector
     standard. Completes the ANN family: exact (q14), LSH (q33),
     IVF (q18), PQ-ADC (q74)."""
-    from pii_extract_base_spark.operators.cluster import _sq_dist, kmeans
+    from pii_extract_base_spark.operators.cluster import _sq_dist
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).localCheckpoint()
     qrow = base.where(F.col("vec_id") == 0).collect()[0]["v"]
 
+    codebooks = _pq_train(base)      # one shared Lloyd loop (r4)
     coded = base
     dist_cols = []
     for s in range(4):
-        sub = base.select(
-            "vec_id", F.slice("v", 16 * s + 1, 16).alias("embedding"))
-        _, cents = kmeans(sub, k=4, iters=2, dim=16)
+        cents = codebooks[s]
         sv = F.slice(F.col("v"), 16 * s + 1, 16)
         best = F.array_min(F.array(*[
             F.struct(_sq_dist(sv, c).alias("dist"),

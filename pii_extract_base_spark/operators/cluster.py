@@ -97,3 +97,67 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 2,
                                          F.col("v").alias(vec_col)),
                              centroids, id_col, vec_col)
     return assigned, centroids
+
+
+def kmeans_grouped(df: DataFrame, groups: List[int], k: int = 4,
+                   iters: int = 2, group_col: str = "sub",
+                   id_col: str = "vec_id", vec_col: str = "v",
+                   dim: int = None, round_dp: int = 4):
+    """Lloyd k-means fitted PER GROUP in ONE shared driver loop — the
+    trainer shape product quantization needs: M subquantizers are M
+    independent k-means problems over the M subvector slices, and
+    running M separate `kmeans` loops costs M·iters driver round-trips
+    (at M=16 production subquantizers that is ~50 Spark jobs).  Here
+    every round is ONE job: a single per-group CASE assignment
+    projection (all groups' centroids inlined as literals) and a
+    single groupBy(group, cluster) aggregate collecting k·|groups|
+    rows.  Driver state stays O(|groups|·k·dim).
+
+    Arithmetic is IDENTICAL per group to `kmeans` (same smallest-id
+    init, same left-fold rounded distances, same struct-min tie-break,
+    same round_dp centroid rounding), so a per-group replay — e.g. the
+    q73/q74 DuckDB oracles' per-subspace Lloyd chains — reproduces the
+    same codes.  Returns (assignments DF(group, id, cluster),
+    {group: [(cid, centroid)]})."""
+    if dim is None:
+        raise ValueError("dim is required: centroids are plan literals")
+    from pyspark.sql import Window
+
+    base = df.select(F.col(group_col).alias("g"), F.col(id_col),
+                     F.col(vec_col).alias("v"))
+
+    w = Window.partitionBy("g").orderBy(id_col)
+    init_rows = (base.withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") <= k).collect())
+    cents = {g: [] for g in groups}
+    for r in sorted(init_rows, key=lambda r: (r["g"], r[id_col])):
+        cents[r["g"]].append((len(cents[r["g"]]), list(r["v"])))
+
+    def assign_col():
+        expr = None
+        for g in groups:
+            best = F.array_min(F.array(*[
+                F.struct(_sq_dist(F.col("v"), c).alias("dist"),
+                         F.lit(int(cid)).alias("cid"))
+                for cid, c in cents[g]]))
+            cond = F.col("g") == g
+            expr = (F.when(cond, best) if expr is None
+                    else expr.when(cond, best))
+        return expr
+
+    for _ in range(iters):
+        assigned = base.withColumn("_b", assign_col()) \
+                       .withColumn("cluster", F.col("_b")["cid"])
+        upd = (assigned.groupBy("g", "cluster")
+                       .agg(*[F.round(F.avg(F.col("v")[i]), round_dp)
+                              .alias(f"c{i}") for i in range(dim)])
+                       .collect())
+        cents = {g: [] for g in groups}
+        for r in sorted(upd, key=lambda r: (r["g"], r["cluster"])):
+            cents[r["g"]].append(
+                (int(r["cluster"]),
+                 [float(r[f"c{i}"]) for i in range(dim)]))
+    assigned = (base.withColumn("_b", assign_col())
+                    .select(F.col("g").alias(group_col), F.col(id_col),
+                            F.col("_b")["cid"].alias("cluster")))
+    return assigned, cents

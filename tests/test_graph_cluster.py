@@ -279,3 +279,33 @@ def test_pq_codes_separate_subspace_patterns(spark):
                                   set()).add(got[i][f"c{s}"])
         assert all(len(v) == 1 for v in by_pattern.values())
         assert by_pattern[0] != by_pattern[1]
+
+
+def test_kmeans_grouped_matches_per_group_kmeans(spark):
+    """The shared-loop grouped trainer (r4, the PQ shape) must produce
+    EXACTLY the per-group `kmeans` centroids and assignments — same
+    init, same rounding, same tie-breaks, just 1 job per round instead
+    of |groups|."""
+    import random
+    from pyspark.sql import functions as F
+    from pii_extract_base_spark.operators.cluster import (kmeans,
+                                                          kmeans_grouped)
+    rng = random.Random(11)
+    dim = 6
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(2 * dim)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    slices = F.array(F.slice("v", 1, dim), F.slice("v", dim + 1, dim))
+    subs = df.select("vec_id", F.posexplode(slices).alias("sub", "v"))
+    ga, gc = kmeans_grouped(subs, groups=[0, 1], k=3, iters=2,
+                            group_col="sub", vec_col="v", dim=dim)
+    got_assign = {(r["sub"], r["vec_id"]): r["cluster"]
+                  for r in ga.collect()}
+    for s in (0, 1):
+        sub = df.select("vec_id",
+                        F.slice("v", s * dim + 1, dim).alias("embedding"))
+        a, c = kmeans(sub, k=3, iters=2, dim=dim)
+        assert gc[s] == c, f"centroids diverge in group {s}"
+        ref = {r["vec_id"]: r["cluster"] for r in a.collect()}
+        for vid, cl in ref.items():
+            assert got_assign[(s, vid)] == cl
