@@ -49,9 +49,11 @@ def get_processor(languages: Tuple[str, ...],
 
 
 def process_page(proc: PiiProcessor, text: str, lang: str,
-                 url: str) -> Tuple[List[Dict], str]:
+                 url: str, do_scrub: bool = True) -> Tuple[List[Dict], str]:
     """Detect entities on one page and scrub them. Returns
-    (entity dicts with ENTITY_FIELDS, scrubbed text)."""
+    (entity dicts with ENTITY_FIELDS, scrubbed text — or None when
+    ``do_scrub`` is off: the fused pipeline rebuilds the scrub
+    NATIVELY from the spans, so the Python copy would be dead work)."""
     text = text or ""
     chunk = DocumentChunk(id="0", data=text)
     piic = PiiCollectionBuilder(lang=lang, docid=url)
@@ -74,17 +76,20 @@ def process_page(proc: PiiProcessor, text: str, lang: str,
             "stage": d.get("process", {}).get("stage"),
         })
 
+    if not do_scrub:
+        return ents, None
     spans = [(e["start"], e["end"], e["type"]) for e in ents]
     return ents, scrub_text(text, spans)
 
 
 def detect_batch(texts, langs, urls, languages: Tuple[str, ...],
-                 config_json: Optional[str] = None):
+                 config_json: Optional[str] = None,
+                 do_scrub: bool = True):
     """Batch kernel: list-of-rows → (entities, scrubbed, counts)."""
     proc = get_processor(languages, config_json)
     all_ents, scrubbed, counts = [], [], []
     for text, lang, url in zip(texts, langs, urls):
-        ents, sc = process_page(proc, text, lang, url)
+        ents, sc = process_page(proc, text, lang, url, do_scrub)
         all_ents.append(ents)
         scrubbed.append(sc)
         counts.append(len(ents))
@@ -115,9 +120,12 @@ def make_detect_udf(languages: Tuple[str, ...],
     return detect_udf
 
 
+# NOTE: no scrubbed_text — the pipeline rebuilds it NATIVELY from the
+# entity spans (functions/scrubnative.scrub_expr), so the full text
+# never crosses the Arrow boundary a second time (r4 hot-path cut)
 FUSED_RESULT_SCHEMA = (
     "struct<lang_pred:string,lang_conf:double,logppl:double,"
-    f"entities:array<{ENTITY_STRUCT}>,scrubbed_text:string,"
+    f"entities:array<{ENTITY_STRUCT}>,"
     "n_entities:int>")
 
 
@@ -145,11 +153,12 @@ def make_fused_udf(languages: Tuple[str, ...],
                   url: pd.Series) -> pd.DataFrame:
         texts = text.tolist()
         preds, confs, ppls = score_batch(texts)
-        ents, scrubbed, counts = detect_batch(
-            texts, lang.tolist(), url.tolist(), langs_t, config_json)
+        ents, _none, counts = detect_batch(
+            texts, lang.tolist(), url.tolist(), langs_t, config_json,
+            do_scrub=False)
         return pd.DataFrame({
             "lang_pred": preds, "lang_conf": confs, "logppl": ppls,
-            "entities": ents, "scrubbed_text": scrubbed,
+            "entities": ents,
             "n_entities": counts,
         })
 

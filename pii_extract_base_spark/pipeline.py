@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .functions.quality import rules_struct_column
 from .functions.decision import decision_columns
+from .functions.scrubnative import scrub_expr
 from .operators.detect import make_detect_udf
 from .operators.score import make_score_udf
 from .partitioning import salted_repartition
@@ -106,7 +107,14 @@ class QualityPipeline:
                   "rules",
                   detect.getField("entities").alias("entities"),
                   detect.getField("n_entities").alias("n_entities"),
-                  detect.getField("scrubbed_text").alias("scrubbed_text"),
+                  # fused path: scrub natively from the spans so the
+                  # full text never crosses Arrow twice (scrubnative);
+                  # non-fused path keeps the UDF's Python scrub
+                  (scrub_expr(F.col("text"),
+                              detect.getField("entities"))
+                   if self.fused
+                   else detect.getField("scrubbed_text"))
+                  .alias("scrubbed_text"),
                   "keep", "reasons",
               ))
         return df
