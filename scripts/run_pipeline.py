@@ -40,10 +40,20 @@ def main() -> int:
     ap.add_argument("--dedup", action="store_true",
                     help="corpus dedup (exact md5 + banded-MinHash near "
                          "dups, keep-first by url) before the pipeline")
+    ap.add_argument("--mix", default=None, metavar="LANG=SHARE,...",
+                    help="dataset mixing AFTER sample/dedup: assemble "
+                         "--mix-budget rows at these per-lang "
+                         "proportions (two-phase md5-prefix histogram "
+                         "pick — exact quotas, no per-stratum sort, "
+                         "resume-stable), e.g. en=0.6,fr=0.4")
+    ap.add_argument("--mix-budget", type=int, default=None,
+                    help="total rows for --mix (required with --mix)")
     ap.add_argument("--from-html", action="store_true",
                     help="backfill NULL text from the html binary column "
                          "(native HTML->text chain, no UDF)")
     args = ap.parse_args()
+    if bool(args.mix) != (args.mix_budget is not None):
+        ap.error("--mix and --mix-budget must be given together")
 
     from pii_extract_base_spark.config import get_spark
     from pii_extract_base_spark.pipeline import QualityPipeline
@@ -65,6 +75,13 @@ def main() -> int:
     if args.dedup:
         from pii_extract_base_spark.operators.dedup import dedup_corpus
         pages = dedup_corpus(pages, text_col="text", id_col="url")
+    if args.mix:
+        from pii_extract_base_spark.functions.sampling import (
+            mixture_sample)
+        shares = {k: float(v) for k, v in
+                  (kv.split("=", 1) for kv in args.mix.split(","))}
+        pages = mixture_sample(pages, "lang", "url", shares,
+                               budget=args.mix_budget)
 
     pipe = QualityPipeline(tuple(args.languages.split(",")),
                            from_html=args.from_html)
