@@ -203,7 +203,10 @@ Iceberg note: runtime jars absent in sandbox -> checkpoint sink uses
 a parquet+manifest shim with identical append/commit/resume
 semantics (`pii_extract_base_spark/sinks/checkpoint.py`).
 """
-    (REPO / "BENCH.md").write_text(bench_md)
+    # write to a SIDE file — BENCH.md is hand-curated (this script
+    # clobbered it once in round 4; the scaling section is merged in
+    # by hand from this report)
+    (REPO / "BENCH_SCALING.md").write_text(bench_md)
     print(json.dumps({"pairs": pairs, "median_eff": med["eff"],
                       "median_eff_corr": med_corr}))
 
