@@ -1617,6 +1617,34 @@ def q78_chunk_context_scan(spark, sf_dir):
                      F.sum("valid").cast("long").alias("n_ctx_valid")))
 
 
+_BANNER = ("subscribe to our newsletter for updates and accept "
+           "all cookies today")
+
+
+def q79_sliding_span_dedup(spark, sf_dir):
+    """Alignment-free duplicated-span removal (operators/dedup.
+    sliding_span_dedup — the ExactSubstr pass of Lee et al. 2022,
+    arXiv:2107.06499, word-granular): a boilerplate banner is planted
+    on every document — appended everywhere, ALSO prepended on every
+    third document, so the duplicate mass sits at a different word
+    alignment per doc and the fixed-grid q58 pass could not catch it.
+    The globally-first occurrence keeps its words; every other copy's
+    covered words are removed. clean_text is fingerprinted (md5) to
+    keep rows compact; the oracle replays construction + removal +
+    fingerprint identically."""
+    from pii_extract_base_spark.operators.dedup import sliding_span_dedup
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BANNER)),
+            F.col("text"), F.lit(_BANNER)).alias("text"))
+    out = sliding_span_dedup(planted, window=8)
+    return out.select("doc_id", "n_words", "n_removed",
+                      F.md5(F.col("clean_text")).alias("clean_fp"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1708,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_pq_codes": q73_pq_codes,
         "q75_weighted_sample": q75_weighted_sample,
         "q76_normalized_dedup": q76_normalized_dedup,
+        "q79_sliding_span_dedup": q79_sliding_span_dedup,
     }
 
 
@@ -2641,6 +2670,60 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = min(doc_id) OVER (PARTITION BY norm_fp)
                        AS is_canonical
             FROM base
+        """,
+        "q79_sliding_span_dedup": f"""
+            -- ExactSubstr-style sliding-window removal over the
+            -- banner-planted corpus (same construction as the query)
+            WITH planted AS (
+                SELECT doc_id,
+                       concat_ws(' ',
+                           CASE WHEN doc_id % 3 = 0 THEN '{_BANNER}' END,
+                           text, '{_BANNER}') AS text
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, {_DUCK_WORDS} AS words FROM planted
+            ),
+            wins AS (
+                SELECT doc_id, u.pos AS pos, u.win AS win FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(words) - 7 > 0 THEN
+                               list_transform(range(len(words) - 7),
+                                   i -> struct_pack(pos := i,
+                                       win := array_to_string(
+                                           words[i+1 : i+8], ' ')))
+                               ELSE [] END) AS u
+                    FROM base)
+            ),
+            ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY win
+                                          ORDER BY doc_id, pos) AS rn
+                FROM wins
+            ),
+            rem AS (
+                SELECT DISTINCT doc_id,
+                       unnest(range(pos, pos + 8)) AS i
+                FROM ranked WHERE rn > 1
+            ),
+            remset AS (
+                SELECT doc_id, list(i) AS rm FROM rem GROUP BY doc_id
+            ),
+            joined AS (
+                SELECT b.doc_id, b.words,
+                       coalesce(rm, []) AS rm
+                FROM base b LEFT JOIN remset USING (doc_id)
+            )
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   len(rm)::BIGINT AS n_removed,
+                   -- DuckDB: array_to_string([]) is NULL, not ''
+                   md5(coalesce(array_to_string(
+                       list_transform(
+                           list_filter(range(len(words)),
+                                       i -> NOT list_contains(rm, i)),
+                           i -> words[i+1]), ' '), '')) AS clean_fp
+            FROM joined
         """,
         "q78_chunk_context_scan": f"""
             -- D1 SQL twin: same 8-word chunking, lag() before-context,

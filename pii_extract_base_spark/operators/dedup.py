@@ -609,3 +609,78 @@ def dedup_incremental(new_df: DataFrame, archive_df: DataFrame,
 
     losers = exact_losers.unionByName(near_losers).distinct()
     return new_df.join(losers, id_col, "left_anti")
+
+
+def sliding_span_dedup(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       window: int = 8) -> DataFrame:
+    """Alignment-free duplicated-span removal — the word-granular
+    rendering of the ExactSubstr pass of Lee et al. 2022
+    (arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    Models Better"), which `span_dedup`'s fixed grid cannot express: a
+    duplicate offset by even one token from the chunk grid slips
+    through grid dedup, while every ``window``-word SLIDING window is
+    alignment-free by construction.  Every window whose exact text
+    occurred earlier in the corpus (at a smaller (doc, pos)) marks its
+    ``window`` covered words for removal; the first (global-minimum)
+    occurrence keeps its words.  Documents survive with the remaining
+    words re-joined in order.
+
+    Plan at scale (suffix arrays need not apply):
+      1. one explode: ~n_tokens sliding-window rows per corpus pass;
+      2. ONE shuffle on the window text for the keep-first rank
+         (WindowGroupLimit — only rank decisions, never pairs: a
+         boilerplate banner duplicated in 10^9 documents is one hash
+         group, not 10^18 candidate pairs);
+      3. duplicate occurrences explode their ``window`` covered word
+         indices — output volume is bounded by the duplicated token
+         mass, not the corpus;
+      4. per-doc collect_set of removed indices (bounded by document
+         length) + a native filter/rebuild projection.
+
+    Returns one row per input doc: (id, n_words, n_removed,
+    clean_text).  Whitespace is normalized to single spaces by the
+    rebuild (the standard trade of token-level dedup).  Deterministic
+    and SQL-replayable end to end — the q79 DuckDB oracle replays the
+    identical keep-first rule."""
+    from pyspark.sql import Window
+    from ..functions.textstats import words_col
+
+    toks = words_col(text_col)
+    n_words = F.size(toks)
+    n_win = n_words - F.lit(window - 1)
+    idx = F.when(n_win > 0, F.sequence(F.lit(0), n_win - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    wins = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(toks, i + 1, window), " "))
+        ).alias("pos", "win"))
+    w = Window.partitionBy("win").orderBy(id_col, "pos")
+    dups = (wins.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") > 1))
+    removed = (dups.select(
+                   F.col(id_col),
+                   F.explode(F.sequence(
+                       F.col("pos"),
+                       F.col("pos") + F.lit(window - 1))).alias("i"))
+                   .distinct()
+                   .groupBy(id_col)
+                   .agg(F.collect_set("i").alias("_rm")))
+    base = df.select(F.col(id_col), toks.alias("_toks"),
+                     n_words.alias("n_words"))
+    out = (base.join(removed, id_col, "left")
+               .withColumn("_rm", F.coalesce(
+                   F.col("_rm"), F.array().cast("array<int>"))))
+    kept = F.filter(
+        F.transform(F.col("_toks"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.array_contains(F.col("_rm"), s["i"]))
+    return out.select(
+        id_col, "n_words",
+        F.size("_rm").cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+         .alias("clean_text"))

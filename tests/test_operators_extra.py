@@ -1280,3 +1280,67 @@ def test_weighted_sample_rate_and_determinism(spark):
     b = {r["doc_id"] for r in
          weighted_sample(df.repartition(13), "doc_id", "w").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sliding_span_dedup (r4): alignment-free ExactSubstr-style removal
+
+def _naive_sliding_dedup(rows, W):
+    """Python reference: global keep-first over W-word sliding windows,
+    duplicate occurrences mark their covered word indices."""
+    wins = {}
+    for did, text in rows:
+        words = text.split()
+        for pos in range(len(words) - W + 1):
+            key = " ".join(words[pos:pos + W])
+            wins.setdefault(key, []).append((did, pos))
+    removed = {did: set() for did, _ in rows}
+    for occs in wins.values():
+        occs.sort()
+        for did, pos in occs[1:]:
+            removed[did].update(range(pos, pos + W))
+    out = {}
+    for did, text in rows:
+        words = text.split()
+        keep = [w for i, w in enumerate(words) if i not in removed[did]]
+        out[did] = (len(words), len(removed[did]), " ".join(keep))
+    return out
+
+
+def test_sliding_span_dedup_matches_naive_and_beats_grid(spark):
+    from pii_extract_base_spark.operators.dedup import (sliding_span_dedup,
+                                                        span_dedup)
+    banner = "one two three four five six seven eight"      # 8 words
+    rows = [
+        (0, f"alpha beta {banner} gamma delta epsilon"),
+        # same banner OFFSET by one word vs doc 0's grid: a fixed
+        # 8-word grid chunking slices it differently, sliding does not
+        (1, f"zeta {banner} eta theta iota kappa lam mu nu xi"),
+        (2, "totally unique words only here nothing repeated at all"),
+        (3, banner),                                        # exact copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+           for r in sliding_span_dedup(df, window=8).collect()}
+    assert got == _naive_sliding_dedup(rows, 8)
+    # doc 1 and 3 lose the banner copy; doc 0 (first occurrence) keeps it
+    assert got[0][1] == 0
+    assert got[1][1] == 8 and banner not in got[1][2]
+    assert got[3] == (8, 8, "")
+    # the fixed-grid pass misses the offset copy in doc 1 (its chunks
+    # slice the banner differently than doc 0's) — the reason the
+    # sliding pass exists
+    grid = {r["doc_id"]: r["clean_text"]
+            for r in span_dedup(df, span=8).collect()}
+    assert banner in grid[1]
+
+
+def test_sliding_span_dedup_partitioning_invariant(spark):
+    from pii_extract_base_spark.operators.dedup import sliding_span_dedup
+    rows = [(i, f"w{i % 4} common words shared by everyone here "
+                f"plus tail {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {tuple(r) for r in sliding_span_dedup(df, window=5).collect()}
+    b = {tuple(r) for r in
+         sliding_span_dedup(df.repartition(7), window=5).collect()}
+    assert a == b
