@@ -126,6 +126,10 @@ AUDIT = {
     "q28_approx_stats": ["HashAggregate", "TakeOrderedAndProject"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
+    # r4 ExactSubstr sliding-span removal: window explode, keep-first
+    # rank (WindowGroupLimit pushes the rank-1..n decision map-side),
+    # set aggregate + native rebuild — never a self-join
+    "q79_sliding_span_dedup": ["Generate", "Window", "HashAggregate"],
     # r4 D1 kernel path: chunk explode + neighbor-context window + ONE
     # Arrow crossing (the chunk UDF); reassembly is hash aggs + a tiny
     # per-doc detector-numbering window
@@ -188,6 +192,8 @@ FORBID = {
                          "SortAggregate"],
     "q78_chunk_context_scan": ["ArrowEvalPython", "BatchEvalPython",
                                "CartesianProduct"],
+    "q79_sliding_span_dedup": ["CartesianProduct", "ArrowEvalPython",
+                               "BatchEvalPython", "SortAggregate"],
 }
 
 
