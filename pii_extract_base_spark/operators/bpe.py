@@ -127,11 +127,19 @@ def _merge_pairs(merges) -> List[Tuple[str, str]]:
 def encode_word(word: str, pairs: List[Tuple[str, str]]) -> List[str]:
     """Apply the merge list to one word — SAME semantics as training
     and as the plan-literal encoder (`bpe_encode_count`): merges in
-    rank order, each applied in ONE left-to-right non-overlapping
-    pass. (This is deliberately not GPT-2's iterate-lowest-rank loop:
-    that re-visits earlier ranks when later merges create new
-    occurrences, so it would diverge from the replace-chain the
-    training rounds and the DuckDB oracle evaluate.)"""
+    rank order, each applied in ONE left-to-right pass WITH the
+    replace-chain's consumed-boundary-space rule. In the space-joined
+    symbol string, ``replace(sym, " a b ", " ab ")`` consumes the
+    space AFTER the merged pair, so within the same pass the next
+    match cannot start at the immediately following symbol: after a
+    merge at (i, i+1), symbol i+2 is passed through verbatim and
+    matching resumes at (i+3, i+4). E.g. 'aaaa' + (a,a) → ['aa', 'a',
+    'a'] (" a a a a " → " aa a a "), and 'ababab' + (a,b) →
+    ['ab', 'a', 'b', 'ab']. (This is deliberately not GPT-2's
+    iterate-lowest-rank loop: that re-visits earlier ranks when later
+    merges create new occurrences, so it would diverge from the
+    replace-chain the training rounds and the DuckDB oracle
+    evaluate.)"""
     syms = list(word)
     present = set(syms)
     for a, b in pairs:
@@ -142,6 +150,11 @@ def encode_word(word: str, pairs: List[Tuple[str, str]]) -> List[str]:
             if i + 1 < n and syms[i] == a and syms[i + 1] == b:
                 out.append(a + b)
                 i += 2
+                # the replace consumed the boundary space after 'b':
+                # the next symbol cannot start a match in this pass
+                if i < n:
+                    out.append(syms[i])
+                    i += 1
             else:
                 out.append(syms[i])
                 i += 1
@@ -167,12 +180,18 @@ def bpe_encode_count_arrow(df: DataFrame, merges,
     Executor-side the kernel is vocabulary-scaled, not token-scaled: a
     per-task dict caches word → token count, so each DISTINCT word in
     a batch is encoded once (Zipf: the top few thousand words cover
-    most tokens). Semantics are identical to `bpe_encode_count` —
-    asserted by the parity test — so either path satisfies the same
-    oracle."""
+    most tokens). The cache is BOUNDED (``cache_cap`` entries, cleared
+    when full) so a high-cardinality 'word' population — URLs, ids,
+    hex hashes in a raw crawl — cannot grow it without limit and OOM
+    an executor; clearing (rather than evicting) keeps the common case
+    O(1) and still amortizes Zipf-head words between resets. Semantics
+    are identical to `bpe_encode_count` — asserted by the parity test
+    on adjacent-merged-pair inputs ('aaaa', 'banana', 'ababab') — so
+    either path satisfies the same oracle."""
     import pandas as pd
 
     pairs = _merge_pairs(merges)
+    cache_cap = 1_000_000
     fields = [f for f in df.schema.fields]
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
@@ -189,6 +208,8 @@ def bpe_encode_count_arrow(df: DataFrame, merges,
                 c = cache.get(w)
                 if c is None:
                     c = len(encode_word(w, pairs))
+                    if len(cache) >= cache_cap:
+                        cache.clear()
                     cache[w] = c
                 total += c
             return total

@@ -161,8 +161,13 @@ def test_arrow_encoder_matches_plan_literal(spark):
     implement one semantics: identical counts on every doc."""
     from pii_extract_base_spark.operators.bpe import (
         bpe_encode_count, bpe_encode_count_arrow)
+    # 'aaaa'/'banana'/'ababab' contain ADJACENT occurrences of a merged
+    # pair — the inputs where the consumed-boundary-space rule bites
+    # (r4 ADVICE: the old encode_word merged both and diverged)
     df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(TEXTS + ["", None, "zzz zzz"])],
+        [(i, t) for i, t in enumerate(
+            TEXTS + ["", None, "zzz zzz",
+                     "aaaa banana ababab", "aaa aaaa aaaaa aaaaaa"])],
         "doc_id long, text string")
     merges = bpe_train(df, "text", rounds=6)
     lit = {r["doc_id"]: r["n_bpe_tokens"]
@@ -175,13 +180,24 @@ def test_arrow_encoder_matches_plan_literal(spark):
 def test_encode_word_sequential_semantics():
     """Merges apply in rank order, one left-to-right pass each — a
     later merge creating an earlier pair must NOT re-trigger it (the
-    GPT-2 iterate-lowest-rank loop would: this pins the difference)."""
+    GPT-2 iterate-lowest-rank loop would: this pins the difference).
+    Within one pass, the replace-chain's boundary space is CONSUMED by
+    a merge, so adjacent occurrences of the same pair cannot both
+    merge in that pass (" a a a a " → " aa a a ", not " aa aa ")."""
     from pii_extract_base_spark.operators.bpe import encode_word
     # rank 1: ('ab','c') — not present until rank 2 runs; rank 2: (a,b)
     assert encode_word("abc", [("ab", "c"), ("a", "b")]) == ["ab", "c"]
-    # non-overlapping single pass: 'aaaa' + (a,a) -> aa aa; 'aaa' -> aa a
-    assert encode_word("aaaa", [("a", "a")]) == ["aa", "aa"]
+    # consumed boundary space: adjacent occurrences don't both merge
+    assert encode_word("aaaa", [("a", "a")]) == ["aa", "a", "a"]
     assert encode_word("aaa", [("a", "a")]) == ["aa", "a"]
+    assert encode_word("banana", [("a", "n")]) == ["b", "an", "a", "n",
+                                                   "a"]
+    # ...but a match 3+ symbols after a merge IS reachable again
+    assert encode_word("ababab", [("a", "b")]) == ["ab", "a", "b", "ab"]
+    # and a LATER rank re-scans fresh: (a,a) again picks up the
+    # leftover 'a a' that the consumed space blocked in pass 1
+    assert encode_word("aaaa", [("a", "a"), ("a", "a")]) == ["aa", "aa"]
+    assert encode_word("aaaa", [("a", "a"), ("aa", "a")]) == ["aaa", "a"]
 
 
 def test_thousand_merges_fast_and_plan_size_independent(spark):
