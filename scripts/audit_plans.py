@@ -131,9 +131,14 @@ AUDIT = {
     # set aggregate + native rebuild — never a self-join
     "q79_sliding_span_dedup": ["Generate", "Window", "HashAggregate"],
     # r4 D1 kernel path: chunk explode + neighbor-context window + ONE
-    # Arrow crossing (the chunk UDF); reassembly is hash aggs + a tiny
-    # per-doc detector-numbering window
-    "q77_chunked_detect": ["Generate", "Window", "ArrowEvalPython"],
+    # Arrow crossing (the chunk UDF). r5: the detect stage is
+    # localCheckpoint-materialized (it feeds two consumer subtrees and
+    # used to be re-planned — and re-RUN — under each), so the static
+    # plan shows the checkpoint scan; what remains is the entity
+    # explode + detector-numbering window + reassembly aggs, and the
+    # Arrow crossing must NOT reappear (that would mean the barrier
+    # was dropped and the UDF re-runs per consumer again)
+    "q77_chunked_detect": ["Generate", "Window", "HashAggregate"],
     # q71/q72 (BPE train/encode), q73/q74 (PQ codebooks/ADC) are
     # driver-loop iteratives like q53/q66/q67: the trained state
     # (merges / codebooks / ADC tables) is inlined as plan literals,
@@ -192,6 +197,8 @@ FORBID = {
                          "SortAggregate"],
     "q78_chunk_context_scan": ["ArrowEvalPython", "BatchEvalPython",
                                "CartesianProduct"],
+    "q77_chunked_detect": ["ArrowEvalPython", "BatchEvalPython",
+                           "CartesianProduct"],
     "q79_sliding_span_dedup": ["CartesianProduct", "ArrowEvalPython",
                                "BatchEvalPython", "SortAggregate"],
 }
