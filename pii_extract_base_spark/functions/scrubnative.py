@@ -39,7 +39,16 @@ def scrub_expr(text_col, entities_col) -> Column:
             (-e["end"].cast("long")).alias("negend"),
             i.cast("long").alias("i"),
             e["end"].cast("long").alias("e"),
-            e["type"].alias("t")))
+            # a NULL type would NULL-poison the concat fold and wipe
+            # the whole document's scrubbed text — render it as an
+            # empty placeholder ('<>') instead
+            F.coalesce(e["type"], F.lit("")).alias("t")))
+    # a span with NULL offsets cannot be placed: drop IT, not the doc
+    # (the fold's substr arithmetic would otherwise NULL the output;
+    # the Python kernel would raise on such a span — either way a
+    # silent whole-document wipe is the one unacceptable rendering)
+    spans = F.filter(spans, lambda x: x["s"].isNotNull()
+                     & x["e"].isNotNull())
     # NULL entity array (no detect ran) scrubs to the text unchanged
     spans = F.coalesce(spans, F.array().cast(
         "array<struct<s:bigint,negend:bigint,i:bigint,"

@@ -51,3 +51,22 @@ def test_scrub_expr_null_and_empty(spark):
                "id", scrub_expr("text", "entities").alias("sc"))
            .collect()}
     assert got == {0: "", 1: "plain", 2: ""}
+
+
+def test_scrub_expr_degenerate_span_fields(spark):
+    """r4 ADVICE: one entity with a NULL type (or NULL offsets) must
+    not NULL the whole document's scrubbed text — NULL type renders
+    as '<>', NULL-offset spans are dropped, the rest still scrub."""
+    df = spark.createDataFrame(
+        [(0, "call 555-1234 now", [(5, 13, None)]),
+         (1, "mail a@b.co today", [(None, 7, "EMAIL"), (5, 11, "EMAIL")]),
+         (2, "id X99 and Y88 ok", [(3, 6, "ID"), (11, None, "ID")])],
+        "id long, text string, "
+        "entities array<struct<start:long,end:long,type:string>>")
+    got = {r["id"]: r["sc"]
+           for r in df.select(
+               "id", scrub_expr("text", "entities").alias("sc"))
+           .collect()}
+    assert got == {0: "call <> now",
+                   1: "mail <EMAIL> today",
+                   2: "id <ID> and Y88 ok"}
