@@ -74,7 +74,9 @@ def quantile_cut(df: DataFrame, strata_col: str, score_col: str,
     STRATUM — fine for high-cardinality strata, a scale-killer when
     one language owns most of the corpus. At corpus scale use
     ``quantile_cut_scalable`` (the r4 default, exact, two-phase
-    histogram — what q49 runs) or ``quantile_cut_approx`` (sketch
+    histogram — what q49 runs; NOTE its per-stratum quota is
+    max(1, floor(kf·n)), not this window's floor(kf·(n−1))+1 — the
+    renderings differ at the boundary by design) or ``quantile_cut_approx`` (sketch
     threshold: within the sketch's rank error of keep_frac, keeps all
     score ties at the threshold, and DROPS NULL strata via its inner
     join — filter NULL strata first if renderings must agree). This
@@ -148,7 +150,17 @@ def quantile_cut_scalable(df: DataFrame, strata_col: str, score_col: str,
     is the whole stratum and the window sorts it all; a constant-score
     stratum has no meaningful quantile anyway. Scores must be
     non-NULL (NULL rows are dropped, stated here so both renderings
-    agree)."""
+    agree). NULL strata are kept as their OWN stratum (null-safe
+    joins; same as ``quantile_cut``'s window partition — r4 ADVICE:
+    plain inner joins silently dropped them).
+
+    INTENTIONAL quota divergence from ``quantile_cut``: this keeps
+    exactly ``max(1, floor(kf·n))`` rows per stratum, while the
+    percent_rank rule keeps ``floor(kf·(n−1)) + 1`` (e.g. n=5,
+    kf=0.5 → 2 here vs 3 there). The floor-of-count rule is the one
+    the mixture/budget samplers share and the one an external replay
+    computes without a rank pass; substituting one rendering for the
+    other changes the kept set at the boundary."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac out of (0,1]: {keep_frac}")
     from pyspark.sql import Window
@@ -171,7 +183,10 @@ def quantile_cut_scalable(df: DataFrame, strata_col: str, score_col: str,
                         * (F.lit(NB) / (F.col("_mx") - F.col("_mn"))))
                  .cast("long"))
     ).otherwise(F.lit(0))
-    scored = (base.join(F.broadcast(ext), strata_col)
+    scored = (base.join(F.broadcast(
+                        ext.withColumnRenamed(strata_col, "_s0")),
+                        F.col(strata_col).eqNullSafe(F.col("_s0")))
+                  .drop("_s0")
                   .withColumn("_bin", binc))
     hist = (scored.groupBy(strata_col, "_bin")
                   .agg(F.count("*").alias("_c"),
@@ -185,12 +200,15 @@ def quantile_cut_scalable(df: DataFrame, strata_col: str, score_col: str,
     cut = (cum.where(F.col("_cum") >= F.col("_q"))
               .groupBy(strata_col).agg(agg_cut.alias("_cutbin"))
               .withColumnRenamed(strata_col, "_s"))
-    rem = (cum.join(cut, (F.col(strata_col) == F.col("_s"))
+    rem = (cum.join(cut, F.col(strata_col).eqNullSafe(F.col("_s"))
                     & (F.col("_bin") == F.col("_cutbin")))
               .select(F.col(strata_col), F.col("_cutbin"),
                       (F.col("_q") - (F.col("_cum") - F.col("_c")))
                       .alias("_rem")))
-    joined = scored.join(F.broadcast(rem), strata_col)
+    joined = (scored.join(F.broadcast(
+                          rem.withColumnRenamed(strata_col, "_s1")),
+                          F.col(strata_col).eqNullSafe(F.col("_s1")))
+                    .drop("_s1"))
     passed = (F.col("_bin") < F.col("_cutbin") if ascending
               else F.col("_bin") > F.col("_cutbin"))
     below = joined.where(passed)

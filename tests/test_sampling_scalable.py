@@ -154,3 +154,19 @@ def test_quantile_cut_scalable_validates(spark):
                                "id long, g string, score double")
     with pytest.raises(ValueError):
         quantile_cut_scalable(df, "g", "score", 0.0, "id")
+
+
+def test_quantile_cut_scalable_null_stratum_kept(spark):
+    """r4 ADVICE: NULL strata must form their OWN stratum (null-safe
+    joins), like quantile_cut's window partition — not be silently
+    dropped by inner joins on the strata column."""
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable)
+    rows = ([(i, "en", float(i)) for i in range(10)]
+            + [(100 + i, None, float(i)) for i in range(10)])
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    got = {r["id"] for r in
+           quantile_cut_scalable(df, "g", "score", 0.5, "id").collect()}
+    # per stratum: top-5 by score desc — en keeps 5..9, NULL keeps
+    # 105..109
+    assert got == {5, 6, 7, 8, 9, 105, 106, 107, 108, 109}
