@@ -124,6 +124,12 @@ AUDIT = {
     # r4: KMV distinct (global min-k = TakeOrdered, no full sort of
     # data) + histogram quantiles (two map-combined aggs + tiny cumsum)
     "q28_approx_stats": ["HashAggregate", "TakeOrderedAndProject"],
+    # r5 IVF-PQ composed search: PQ codes + coarse routing feed a
+    # cent_id broadcast equi-join (probed lists only); the coarse
+    # centroid fan-out is a broadcast of a tiny relation; final top-10
+    # is a TakeOrdered, never a global sort
+    "q80_ivfpq_topk": ["BroadcastHashJoin|BroadcastExchange", "Window",
+                       "TakeOrderedAndProject"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -199,6 +205,8 @@ FORBID = {
                                "CartesianProduct"],
     "q77_chunked_detect": ["ArrowEvalPython", "BatchEvalPython",
                            "CartesianProduct"],
+    "q80_ivfpq_topk": ["CartesianProduct", "ArrowEvalPython",
+                       "BatchEvalPython", "SortAggregate"],
     "q79_sliding_span_dedup": ["CartesianProduct", "ArrowEvalPython",
                                "BatchEvalPython", "SortAggregate"],
 }
