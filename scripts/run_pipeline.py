@@ -40,6 +40,14 @@ def main() -> int:
     ap.add_argument("--dedup", action="store_true",
                     help="corpus dedup (exact md5 + banded-MinHash near "
                          "dups, keep-first by url) before the pipeline")
+    ap.add_argument("--dedup-spans", type=int, default=None,
+                    metavar="WINDOW",
+                    help="alignment-free duplicated-SPAN removal "
+                         "(ExactSubstr-style WINDOW-word sliding "
+                         "windows, global keep-first by url): rewrites "
+                         "text with later duplicate spans removed — "
+                         "deterministic, so a re-run yields identical "
+                         "counts; composes with --dedup (doc-level)")
     ap.add_argument("--mix", default=None, metavar="LANG=SHARE,...",
                     help="dataset mixing AFTER sample/dedup: assemble "
                          "--mix-budget rows at these per-lang "
@@ -75,6 +83,17 @@ def main() -> int:
     if args.dedup:
         from pii_extract_base_spark.operators.dedup import dedup_corpus
         pages = dedup_corpus(pages, text_col="text", id_col="url")
+    if args.dedup_spans:
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.operators.dedup import (
+            sliding_span_dedup)
+        spans = sliding_span_dedup(pages, text_col="text", id_col="url",
+                                   window=args.dedup_spans)
+        # one row per url by construction; rewrite text in place,
+        # every other page column rides through untouched
+        pages = pages.drop("text").join(
+            spans.select("url", F.col("clean_text").alias("text")),
+            "url")
     if args.mix:
         from pii_extract_base_spark.functions.sampling import (
             mixture_sample)
