@@ -228,7 +228,13 @@ def per_key_cap(df: DataFrame, key_col: str, cap: int,
     ``order_col`` (e.g. md5-bucket order for an unbiased pick, or a
     quality score for a biased one) — the 'max N pages per domain'
     crawl-curation rule. row_number over a per-key window; same skew
-    caveat as quantile_cut."""
+    caveat as quantile_cut: acceptable while the key (domain) stays
+    high-cardinality. When one domain dominates a crawl, pre-trim it
+    first: find heavy hitters with the CMS sketch (q61,
+    operators/sketch.cms_heavy_hitters), then cut those keys with a
+    salted md5-threshold filter (shuffle-free, like
+    stratified_sample) down to ~cap candidates BEFORE this window —
+    the reducer then never sees the unbounded key."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1: {cap}")
     from pyspark.sql import Window
