@@ -675,6 +675,22 @@ def q50_domain_cap(spark, sf_dir):
             .select("doc_id", "source", "pick"))
 
 
+def q81_domain_cap_scalable(spark, sf_dir):
+    """q50's 'max 30 docs per source' rule through the SCALE path
+    (functions/sampling.per_key_cap_scalable, r5): the same
+    deterministic md5-ordered pick selected by a two-phase md5-prefix
+    histogram — hash aggregate + tiny per-key cumsum + boundary-bucket
+    row_number — so a key owning most of the corpus never becomes one
+    reducer's sort. The oracle is the NAIVE rank window (exactly
+    q50's), which is the point: bit-identical kept set, skew-free
+    plan."""
+    from pii_extract_base_spark.functions.sampling import (
+        per_key_cap_scalable)
+    docs = _t(spark, sf_dir, "documents")
+    return (per_key_cap_scalable(docs, "source", 30, "doc_id")
+            .select("doc_id", "source"))
+
+
 def q51_image_thumbnails(spark, sf_dir):
     """Multimodal resize stage: blobs → 8×8 grayscale thumbnails via
     bytes-capped mapInPandas (deterministic fake decode — rows-only;
@@ -1874,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_pq_codes": q73_pq_codes,
         "q75_weighted_sample": q75_weighted_sample,
         "q76_normalized_dedup": q76_normalized_dedup,
+        "q81_domain_cap_scalable": q81_domain_cap_scalable,
     }
 
 
@@ -2694,6 +2711,16 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (
                            PARTITION BY source
                            ORDER BY md5(doc_id::VARCHAR) ASC) AS rn
+                FROM documents
+            ) WHERE rn <= 30
+        """,
+        "q81_domain_cap_scalable": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(coalesce(doc_id::VARCHAR, ''))
+                                    ASC, doc_id ASC) AS rn
                 FROM documents
             ) WHERE rn <= 30
         """,

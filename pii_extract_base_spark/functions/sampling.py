@@ -229,12 +229,11 @@ def per_key_cap(df: DataFrame, key_col: str, cap: int,
     quality score for a biased one) — the 'max N pages per domain'
     crawl-curation rule. row_number over a per-key window; same skew
     caveat as quantile_cut: acceptable while the key (domain) stays
-    high-cardinality. When one domain dominates a crawl, pre-trim it
-    first: find heavy hitters with the CMS sketch (q61,
-    operators/sketch.cms_heavy_hitters), then cut those keys with a
-    salted md5-threshold filter (shuffle-free, like
-    stratified_sample) down to ~cap candidates BEFORE this window —
-    the reducer then never sees the unbounded key."""
+    high-cardinality AND no single key dominates. When one domain owns
+    a large corpus share, use ``per_key_cap_scalable`` — the two-phase
+    md5-prefix-histogram rendering of the same pick (bit-identical
+    kept set for order_col = md5(id)) that never sorts a whole key in
+    one task."""
     if cap < 1:
         raise ValueError(f"cap must be >= 1: {cap}")
     from pyspark.sql import Window
@@ -242,6 +241,71 @@ def per_key_cap(df: DataFrame, key_col: str, cap: int,
     return (df.withColumn("_rn", F.row_number().over(w))
               .where(F.col("_rn") <= cap)
               .drop("_rn"))
+
+
+def per_key_cap_scalable(df: DataFrame, key_col: str, cap: int,
+                         id_col: str,
+                         broadcast_cutoffs: bool = True) -> DataFrame:
+    """Scale-safe 'max N pages per domain': keep, per key, the ``cap``
+    rows with the smallest (md5(id), id) — the same deterministic
+    unbiased pick as ``per_key_cap(order_col=md5-bucket)`` — WITHOUT
+    handing any reducer a whole key. ``per_key_cap``'s row_number
+    window sorts each key inside one task, so the one boilerplate
+    domain that owns 10% of a crawl becomes a single straggler task;
+    here (the r4-verdict caveat closed as an operator, not a
+    docstring) the selection is the same two-phase md5-prefix
+    histogram as ``mixture_sample``:
+
+      1. groupBy(key, bucket).count() — map-side-combined hash agg, no
+         sort; a heavy key compresses to ≤65536 histogram rows no
+         matter how many rows it owns.
+      2. per-key cumsum over its ≤65536 histogram rows finds the
+         cutoff bucket + residual rank. Keys with n ≤ cap never reach
+         the quota, get no cutoff row, and are kept whole.
+      3. rows below the cutoff bucket pass by filter; ONLY the
+         boundary bucket (expected n_key/65536 rows) pays an exact
+         per-key row_number.
+
+    The cutoff relation has one row per key EXCEEDING the cap — in a
+    crawl that is the small heavy-hitter set, so it broadcasts; pass
+    ``broadcast_cutoffs=False`` if caps bind on most keys (the join
+    then shuffles on the key, still skew-free). Bucket is an order
+    prefix of the full md5 ordering key, so the kept set is
+    bit-identical to the naive window's and the DuckDB replay (a
+    plain rank window at eval scale) hash-matches. NULL keys form
+    their own key group (null-safe join); NULL ids order via
+    md5('')."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1: {cap}")
+    from pyspark.sql import Window
+    h, b = _md5_order_cols(id_col)
+    base = df.withColumn("_h", h).withColumn("_b", b)
+    hist = base.groupBy(key_col, "_b").agg(F.count("*").alias("_c"))
+    wcum = (Window.partitionBy(key_col).orderBy("_b")
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    cut = (cum.where(F.col("_cum") >= F.lit(cap))
+              .groupBy(key_col).agg(F.min("_b").alias("_cutb"))
+              .withColumnRenamed(key_col, "_k"))
+    rem = (cum.join(cut, F.col(key_col).eqNullSafe(F.col("_k"))
+                    & (F.col("_b") == F.col("_cutb")))
+              .select(F.col(key_col).alias("_k"), F.col("_cutb"),
+                      (F.lit(cap) - (F.col("_cum") - F.col("_c")))
+                      .alias("_rem")))
+    if broadcast_cutoffs:
+        rem = F.broadcast(rem)
+    joined = base.join(rem, F.col(key_col).eqNullSafe(F.col("_k")),
+                       "left")
+    below = joined.where(F.col("_cutb").isNull()
+                         | (F.col("_b") < F.col("_cutb")))
+    band = joined.where(F.col("_b") == F.col("_cutb"))
+    wband = (Window.partitionBy(key_col)
+                   .orderBy(F.asc("_h"), F.asc(id_col)))
+    band = (band.withColumn("_rn", F.row_number().over(wband))
+                .where(F.col("_rn") <= F.col("_rem")).drop("_rn"))
+    drop = ["_h", "_b", "_k", "_cutb", "_rem"]
+    return below.drop(*drop).unionByName(band.drop(*drop))
 
 
 def mixture_quotas(shares: dict, budget: int) -> Dict[str, int]:

@@ -68,6 +68,9 @@ AUDIT = {
     "q49_quality_quantile_cut": ["HashAggregate", "Window", "Union",
                                  "BroadcastHashJoin|BroadcastExchange"],
     "q50_domain_cap": ["Window"],
+    # r5 scale path of q50: histogram hash agg + broadcast cutoffs;
+    # the only row_number sits above the boundary-bucket filter
+    "q81_domain_cap_scalable": ["HashAggregate", "Window", "Union"],
     # decontamination: broadcast eval shingle probe + anti-join — the
     # training corpus itself never shuffles
     "q52_decontaminate": ["BroadcastHashJoin", "LeftAnti"],
@@ -199,6 +202,8 @@ FORBID = {
     # the two-phase samplers must never rank a whole stratum
     "q49_quality_quantile_cut": ["percent_rank", "CartesianProduct"],
     "q70_mixture_sample": ["percent_rank", "CartesianProduct"],
+    "q81_domain_cap_scalable": ["percent_rank", "CartesianProduct",
+                                "SortAggregate"],
     "q28_approx_stats": ["ArrowEvalPython", "BatchEvalPython",
                          "SortAggregate"],
     "q78_chunk_context_scan": ["ArrowEvalPython", "BatchEvalPython",

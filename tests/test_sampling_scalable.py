@@ -170,3 +170,58 @@ def test_quantile_cut_scalable_null_stratum_kept(spark):
     # per stratum: top-5 by score desc — en keeps 5..9, NULL keeps
     # 105..109
     assert got == {5, 6, 7, 8, 9, 105, 106, 107, 108, 109}
+
+
+# ---------------------------------------------------------------------------
+# per_key_cap_scalable
+
+def _naive_key_cap(rows, cap):
+    """Reference: per key, the cap rows with smallest (md5(str(id)), id)."""
+    from collections import defaultdict
+    by_key = defaultdict(list)
+    for rid, key in rows:
+        by_key[key].append(rid)
+    out = set()
+    for key, ids in by_key.items():
+        ids.sort(key=lambda i: (_md5(str(i)), i))
+        out |= set(ids[:cap])
+    return out
+
+
+def test_per_key_cap_scalable_matches_naive_with_heavy_key(spark):
+    """One key owns ~95% of the rows (the shape the operator exists
+    for); the kept set must equal the naive per-key window pick, keys
+    under the cap are kept whole, and NULL keys form their own group."""
+    from pii_extract_base_spark.functions.sampling import (
+        per_key_cap_scalable)
+    rows = ([(i, "megadomain") for i in range(5000)]
+            + [(100_000 + i, f"tail{i % 7}") for i in range(140)]
+            + [(200_000 + i, "tiny") for i in range(3)]
+            + [(300_000 + i, None) for i in range(25)])
+    df = spark.createDataFrame(rows, "id long, dom string")
+    got = {r["id"] for r in
+           per_key_cap_scalable(df, "dom", 10, "id").collect()}
+    assert got == _naive_key_cap(rows, 10)
+    kept_tiny = {r for r in got if 200_000 <= r < 200_100}
+    assert len(kept_tiny) == 3                      # under-cap: whole
+    assert len({r for r in got if r >= 300_000}) == 10   # NULL key group
+
+
+def test_per_key_cap_scalable_plan_no_full_key_sort(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        per_key_cap_scalable)
+    df = spark.createDataFrame([(i, f"d{i % 3}") for i in range(60)],
+                               "id long, dom string")
+    plan = _plan(per_key_cap_scalable(df, "dom", 5, "id"))
+    # row_number only above the boundary-bucket filter; histogram agg
+    assert "row_number" in plan
+    assert "_cutb" in plan
+    assert "percent_rank" not in plan
+
+
+def test_per_key_cap_scalable_validates(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        per_key_cap_scalable)
+    df = spark.createDataFrame([(1, "a")], "id long, dom string")
+    with pytest.raises(ValueError):
+        per_key_cap_scalable(df, "dom", 0, "id")
