@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q63_ppl_sql",               # SQL perplexity twin
     "q67_logreg_quality",        # distributed logistic regression
     "q70_mixture_sample",        # two-phase dataset mixing
+    "q81_domain_cap_scalable",   # r5: skew-free per-domain cap
     "q74_pq_adc_topk",           # PQ asymmetric-distance ANN
     "q80_ivfpq_topk",            # r5: IVF-PQ composed search (IVFADC)
     "q78_chunk_context_scan",    # D1 chunk-context scan (SQL twin)
