@@ -1626,6 +1626,203 @@ def _ivfpq_oracle() -> str:
             + "\nORDER BY adc_dist, e.vec_id LIMIT 10")
 
 
+def q82_ivfpq_residual_topk(spark, sf_dir):
+    """RESIDUAL IVF-PQ search — the full IVFADC of Jegou et al. TPAMI
+    2011 SIV (q80 is the raw-vector simplification): PQ codebooks are
+    trained on the COARSE RESIDUALS r = v - cv (what the vector looks
+    like *after* its inverted list explains the coarse structure), so
+    the 4 codes spend their entire budget on within-list detail — the
+    accuracy trick that makes 4 bytes/vector usable at billion scale.
+    Query side, the ADC table is PER PROBED LIST: for each of the
+    nprobe=3 probed centroids c, the driver computes q_res_c = q - cv_c
+    and a 4x4 LUT against the residual codebooks; a candidate in list
+    c is scored with list c's LUT via a CASE on cent_id — still 4
+    lookups + 3 adds per candidate, codes-only. Coarse routing,
+    training loop, fold order, and rounding are the verified q80/q73
+    shapes; the DuckDB oracle replays coarse assign -> residual table
+    -> per-subspace Lloyd chains over residuals -> per-(list, code)
+    ADC -> top-10."""
+    from pii_extract_base_spark.operators.cluster import nearest_centroid
+    from pii_extract_base_spark.operators.lr import _qround
+    from pii_extract_base_spark.operators.similarity import _dot, _norm
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v")).localCheckpoint()
+    qrow = base.where(F.col("vec_id") == 0).collect()[0]["v"]
+
+    # -- coarse quantizer (q18/q80 shape): stride-25 cents, cosine
+    cents = base.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("_cos"), F.asc("cent_id"))
+    coarse = (base.join(F.broadcast(cents))
+              .withColumn("_cos", _dot(F.col("v"), F.col("cv"))
+                          / (_norm(F.col("v")) * _norm(F.col("cv"))))
+              .withColumn("_rn", F.row_number().over(w_assign))
+              .where(F.col("_rn") == 1)
+              .select("vec_id", "v", "cent_id", "cv"))
+    # residual table (the PQ training/encode input), one checkpoint:
+    # the Lloyd loop and the encode both scan it
+    er = (coarse.select(
+              "vec_id", "cent_id",
+              F.zip_with("v", "cv", lambda a, b: a - b).alias("v"))
+          .localCheckpoint())
+
+    # -- PQ on residuals: shared Lloyd loop + literal-codebook codes
+    codebooks = _pq_train(er.select("vec_id", "v"))
+    coded = er
+    for s in range(4):
+        best = nearest_centroid(F.slice(F.col("v"), 16 * s + 1, 16),
+                                codebooks[s])
+        coded = coded.withColumn(f"c{s}", best["cid"])
+
+    # -- probes (driver state: 3 ids + their centroid vectors)
+    w_probe = Window.orderBy(F.desc("_cos"), F.asc("cent_id"))
+    probe_rows = (base.where(F.col("vec_id") == 0)
+                  .join(F.broadcast(cents))
+                  .withColumn("_cos", _dot(F.col("v"), F.col("cv"))
+                              / (_norm(F.col("v")) * _norm(F.col("cv"))))
+                  .withColumn("_rn", F.row_number().over(w_probe))
+                  .where(F.col("_rn") <= 3)
+                  .select("cent_id", "cv").collect())
+
+    def _fold_sq(qsub, cvec):        # left-fold, like _sq_dist
+        d = 0.0
+        for i in range(16):
+            t = qsub[i] - cvec[i]
+            d = d + t * t
+        return _qround(d, 9)
+
+    # per-(probed list, subspace) ADC LUT over the query RESIDUAL
+    dist_cols = []
+    for s in range(4):
+        cmap = dict(codebooks[s])
+        lut_case = None
+        for pr in probe_rows:
+            q_res = [qrow[i] - pr["cv"][i] for i in range(64)]
+            qsub = q_res[16 * s: 16 * (s + 1)]
+            tbl = [_fold_sq(qsub, cmap[cid]) if cid in cmap else None
+                   for cid in range(4)]
+            hit = F.element_at(F.array(*[F.lit(x) for x in tbl]),
+                               F.col(f"c{s}") + 1)
+            cond = F.col("cent_id") == pr["cent_id"]
+            lut_case = (F.when(cond, hit) if lut_case is None
+                        else lut_case.when(cond, hit))
+        dist_cols.append(lut_case)
+    adc = F.round(sum(dist_cols[1:], dist_cols[0]), 6)
+
+    probe_ids = [int(r["cent_id"]) for r in probe_rows]
+    return (coded.where(F.col("cent_id").isin(probe_ids))
+                 .where(F.col("vec_id") != 0)
+                 .select("vec_id", adc.alias("adc_dist"),
+                         "c0", "c1", "c2", "c3", "cent_id")
+                 .where(F.col("adc_dist").isNotNull())
+                 .orderBy("adc_dist", "vec_id").limit(10))
+
+
+def _ivfpq_res_oracle(m: int = 4, subdim: int = 16, k: int = 4,
+                      iters: int = 2) -> str:
+    """DuckDB replay of q82: coarse assign (q18 CTEs) -> residual
+    table er -> per-subspace Lloyd chains OVER RESIDUALS (same
+    unrolled shape as _pq_oracle, source er) -> per-(probed list,
+    code) ADC tables over the query residual -> top-10."""
+    dim = m * subdim
+    res_list = ", ".join(f"e.v[{i + 1}] - c.cv[{i + 1}]"
+                         for i in range(dim))
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings)",
+            """cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+                      WHERE vec_id % 25 = 0)""",
+            """coarse AS (
+                SELECT cid AS vec_id, cent_id FROM (
+                    SELECT e.vec_id AS cid, c.cent_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.v, c.cv)
+                                        / (sqrt(list_dot_product(e.v, e.v))
+                                         * sqrt(list_dot_product(c.cv, c.cv)))
+                                        DESC,
+                                        c.cent_id ASC) AS rn
+                    FROM e, cents c
+                ) WHERE rn = 1
+            )""",
+            f"""er AS MATERIALIZED (
+                SELECT e.vec_id, coarse.cent_id, [{res_list}] AS v
+                FROM e JOIN coarse USING (vec_id)
+                       JOIN cents c USING (cent_id)
+            )""",
+            """probes AS (
+                SELECT cent_id FROM (
+                    SELECT c.cent_id,
+                           row_number() OVER (
+                               ORDER BY list_dot_product(q.v, c.cv)
+                                        / (sqrt(list_dot_product(q.v, q.v))
+                                         * sqrt(list_dot_product(c.cv, c.cv)))
+                                        DESC,
+                                        c.cent_id ASC) AS rn
+                    FROM e q, cents c WHERE q.vec_id = 0
+                ) WHERE rn <= 3
+            )""",
+            """qres AS (
+                SELECT p.cent_id,
+                       list_transform(range(1, 65),
+                                      i -> q.v[i] - c.cv[i]) AS v
+                FROM probes p JOIN cents c USING (cent_id),
+                     (SELECT v FROM e WHERE vec_id = 0) q(v)
+            )"""]
+    for s in range(m):
+        lo, hi = subdim * s + 1, subdim * (s + 1)
+        dist = " + ".join(
+            f"(r.v[{lo + i}] - c[{i + 1}]) * (r.v[{lo + i}] - c[{i + 1}])"
+            for i in range(subdim))
+        avgs = ", ".join(f"round(avg(r.v[{lo + i}]), 4)"
+                         for i in range(subdim))
+
+        def assign(name, cents_cte):
+            return f"""{name} AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT r.vec_id, {cents_cte}.cid,
+                           row_number() OVER (PARTITION BY r.vec_id
+                                              ORDER BY round({dist}, 9),
+                                                       cid) AS rn
+                    FROM er r CROSS JOIN {cents_cte}) WHERE rn = 1)"""
+
+        ctes.append(
+            f"s{s}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1"
+            f" AS cid, v[{lo}:{hi}] AS c "
+            f"FROM er ORDER BY vec_id LIMIT {k})")
+        prev = f"s{s}c0"
+        for rnd in range(1, iters + 1):
+            ctes.append(assign(f"s{s}a{rnd}", prev))
+            ctes.append(f"""s{s}c{rnd} AS (
+                SELECT cluster AS cid, [{avgs}] AS c
+                FROM s{s}a{rnd} JOIN er r USING (vec_id)
+                GROUP BY cluster)""")
+            prev = f"s{s}c{rnd}"
+        ctes.append(assign(f"s{s}F", prev))
+        qdist = " + ".join(
+            f"(q.v[{lo + i}] - c[{i + 1}]) * (q.v[{lo + i}] - c[{i + 1}])"
+            for i in range(subdim))
+        ctes.append(f"""adc{s} AS (
+            SELECT q.cent_id, cc.cid, round({qdist}, 9) AS d
+            FROM s{s}c{iters} AS cc(cid, c), qres q)""")
+    errs = " + ".join(f"t{s}.d" for s in range(m))
+    joins = " ".join(
+        f"JOIN s{s}F USING (vec_id) "
+        f"JOIN adc{s} t{s} ON t{s}.cid = s{s}F.cluster "
+        f"AND t{s}.cent_id = er.cent_id"
+        for s in range(m))
+    codes = ", ".join(f"s{s}F.cluster AS c{s}" for s in range(m))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT er.vec_id, round({errs}, 6) AS adc_dist, "
+            + f"{codes}, er.cent_id"
+            + f"\nFROM er {joins}"
+            + "\nJOIN probes ON probes.cent_id = er.cent_id"
+            + "\nWHERE er.vec_id <> 0"
+            + "\nORDER BY adc_dist, er.vec_id LIMIT 10")
+
+
+
 
 def q75_weighted_sample(spark, sf_dir):
     """Quality-weighted importance sampling (functions/sampling
@@ -1891,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_weighted_sample": q75_weighted_sample,
         "q76_normalized_dedup": q76_normalized_dedup,
         "q81_domain_cap_scalable": q81_domain_cap_scalable,
+        "q82_ivfpq_residual_topk": q82_ivfpq_residual_topk,
     }
 
 
@@ -2808,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         "q73_pq_codes": _pq_oracle(),
         "q74_pq_adc_topk": _pq_adc_oracle(),
         "q80_ivfpq_topk": _ivfpq_oracle(),
+        "q82_ivfpq_residual_topk": _ivfpq_res_oracle(),
         "q75_weighted_sample": f"""
             SELECT doc_id,
                    round(least(n_chars::DOUBLE / (2000.0)::DOUBLE,

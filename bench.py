@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q81_domain_cap_scalable",   # r5: skew-free per-domain cap
     "q74_pq_adc_topk",           # PQ asymmetric-distance ANN
     "q80_ivfpq_topk",            # r5: IVF-PQ composed search (IVFADC)
+    "q82_ivfpq_residual_topk",   # r5: residual IVFADC (per-list ADC)
     "q78_chunk_context_scan",    # D1 chunk-context scan (SQL twin)
 ]
 

@@ -133,6 +133,11 @@ AUDIT = {
     # is a TakeOrdered, never a global sort
     "q80_ivfpq_topk": ["BroadcastHashJoin|BroadcastExchange", "Window",
                        "TakeOrderedAndProject"],
+    # r5 residual IVFADC: the residual table is localCheckpoint'd (the
+    # Lloyd loop and the encode both scan it), candidates filter to
+    # the probed lists (isin over 3 driver-collected ids — partition-
+    # prunable), per-list ADC is a CASE of literal LUT lookups
+    "q82_ivfpq_residual_topk": ["Project", "TakeOrderedAndProject"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -212,6 +217,8 @@ FORBID = {
                            "CartesianProduct"],
     "q80_ivfpq_topk": ["CartesianProduct", "ArrowEvalPython",
                        "BatchEvalPython", "SortAggregate"],
+    "q82_ivfpq_residual_topk": ["CartesianProduct", "ArrowEvalPython",
+                                "BatchEvalPython", "SortAggregate"],
     "q79_sliding_span_dedup": ["CartesianProduct", "ArrowEvalPython",
                                "BatchEvalPython", "SortAggregate"],
 }
@@ -325,7 +332,7 @@ def main():
     import subprocess
     probe = subprocess.run(
         [sys.executable, "scripts/check_correctness.py", SF_DIR,
-         "q73", "q74", "q55"],
+         "q73", "q74", "q55", "q82"],
         capture_output=True, text=True,
         cwd=str(Path(__file__).resolve().parent.parent))
     blown = "grows beyond 64 KB" in (probe.stderr + probe.stdout)
@@ -333,7 +340,7 @@ def main():
     ok_all &= probe_green
     print("## codegen-size probe (PQ / k-means family)\n")
     print(f"{'✓' if not blown else '✗ PRESENT'} `!Code grows beyond "
-          "64 KB` while executing q73/q74/q55 "
+          "64 KB` while executing q73/q74/q55/q82 "
           f"({'hash-green' if probe.returncode == 0 else 'CHECK FAILED'}"
           ")\n")
 
