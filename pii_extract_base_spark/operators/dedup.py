@@ -699,3 +699,118 @@ def sliding_span_dedup(df: DataFrame, text_col: str = "text",
                      .alias("n_removed"),
                     F.coalesce(F.col("_clean"), F.lit(""))
                      .alias("clean_text")))
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, iters: int = 2,
+                   dim: int = None, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster: int = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning by k-means bucketing + within-cluster
+    cosine.  Where `embedding_near_dup_pairs` bounds the candidate
+    space with random-hyperplane LSH, SemDeDup bounds it with LEARNED
+    buckets: cluster the embeddings (operators/cluster.kmeans — the
+    same deterministic plan-literal Lloyd loop the IVF family trains
+    with), then compare pairs ONLY within a cluster and drop every
+    vector that has a lower-id neighbor above ``threshold`` (the
+    deterministic keep-lowest-id rendering of the paper's
+    keep-one-per-similar-group rule).
+
+    Plan at scale: the corpus never self-joins — only (id, cluster)
+    rows shuffle into cluster buckets, and production k grows with N
+    (the paper uses k ≈ n/1000, so E[cluster] is constant and the
+    within-cluster pairwise term is O(n·c), not O(n²)).  A skewed
+    (collapsed) cluster is bounded by ``max_cluster`` via the same
+    _cap_buckets guard the LSH paths use (None disables; capped
+    clusters skip pruning entirely rather than pruning a biased
+    subset).  Vectors re-join candidates only for surviving pairs,
+    exactly like the LSH verify step.
+
+    Returns one row per vector: (id_col, cluster, kept boolean).
+    Deterministic and SQL-replayable: cosine rounds to 6 dp before
+    the threshold compare (the q17 cross-engine contract) and the
+    Lloyd loop is the q55-verified replayable trainer.
+    """
+    from .cluster import kmeans
+    from .similarity import _dot, _norm
+
+    if dim is None:
+        raise ValueError("dim is required: centroids are plan literals")
+    assigned, _ = kmeans(emb, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col, dim=dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      _norm(v).alias("nrm"))
+    memb = (assigned.select(F.col(id_col).alias("id"), "cluster"))
+    cand = memb
+    if max_cluster is not None:
+        cand = _cap_buckets(memb, ["cluster"], max_cluster)
+    x, y = cand.alias("x"), cand.alias("y")
+    pairs = (x.join(y, "cluster")
+              .where(F.col("x.id") < F.col("y.id"))
+              .select(F.col("x.id").alias("id_a"),
+                      F.col("y.id").alias("id_b")))
+    av = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    bv = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    removed = (pairs.join(av, "id_a").join(bv, "id_b")
+                    .where(cos >= F.lit(threshold))
+                    .select(F.col("id_b").alias("id"))
+                    .distinct()
+                    .withColumn("_rm", F.lit(True)))
+    return (memb.join(removed, "id", "left")
+                .select(F.col("id").alias(id_col), "cluster",
+                        F.col("_rm").isNull().alias("kept")))
+
+
+def contamination_scores(df: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         eval_text_col: str = "text", k: int = 13,
+                         flag_frac: float = 0.1,
+                         broadcast_eval: bool = True) -> DataFrame:
+    """Graded contamination measurement — the reporting half of
+    `decontaminate` (which is binary drop/keep at a collision count):
+    for every training document, the FRACTION of its distinct k-gram
+    shingles that appear anywhere in the evaluation corpus, plus a
+    ``flagged`` verdict at ``flag_frac`` (the PaLM/Llama-style
+    "contaminated if >X% of n-grams overlap" rule).  Runs before a
+    release to size the contamination problem; `decontaminate` then
+    enforces whatever cut the report justifies.
+
+    Plan: identical zero-corpus-shuffle shape to decontaminate — the
+    eval side reduces to its distinct shingle set and broadcasts;
+    the corpus explodes once, probes the broadcast, and re-aggregates
+    per doc.  Docs with no shingles (shorter than k words) report
+    0 overlap and are never flagged.
+
+    Returns (id_col, n_shingles, n_hits, overlap_frac, flagged) —
+    overlap_frac rounded to 6 dp (cross-engine float contract).
+    """
+    from ..functions.textstats import shingles, shingle_count
+
+    ev = (eval_df.select(F.explode(shingles(eval_text_col, k))
+                         .alias("sh"))
+                 .distinct())
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (df.select(F.col(id_col),
+                      F.explode(shingles(text_col, k)).alias("sh"))
+              .join(ev, "sh")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("_n_hits")))
+    n_sh = shingle_count(text_col, k)
+    frac = F.round(F.col("n_hits") / F.greatest(F.col("n_shingles"),
+                                                F.lit(1)), 6)
+    return (df.select(F.col(id_col), n_sh.alias("n_shingles"))
+              .join(hits, id_col, "left")
+              .withColumn("n_hits",
+                          F.coalesce(F.col("_n_hits"), F.lit(0))
+                           .cast("long"))
+              .withColumn("overlap_frac", frac)
+              .withColumn("flagged", F.col("overlap_frac")
+                          > F.lit(flag_frac))
+              .select(id_col, "n_shingles", "n_hits", "overlap_frac",
+                      "flagged"))

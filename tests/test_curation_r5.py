@@ -1,0 +1,184 @@
+"""Round-5 curation operators: SemDeDup, DSIR weights, script
+profiling, contamination scoring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+def _planted_embeddings(spark):
+    """Two tight semantic groups plus singletons. Ids are chosen so
+    the deterministic smallest-id k-means init picks DIVERSE seed
+    vectors (0, 1, 10), not three copies of the same point: vectors
+    100/101/102 are near-copies of one direction, 10/11 of another,
+    0 and 1 are far from everything."""
+    import random
+    rng = random.Random(5)
+    def jitter(base, eps):
+        return [x + eps * rng.uniform(-1, 1) for x in base]
+    a = [1.0] * 8 + [0.0] * 8
+    b = [0.0] * 8 + [1.0] * 8
+    c = [1.0, -1.0] * 8
+    rows = [(0, c), (1, [float(i) for i in range(16)]),
+            (10, b), (11, jitter(b, 0.01)),
+            (100, a), (101, jitter(a, 0.01)), (102, jitter(a, 0.02))]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_higher_ids_in_groups(spark):
+    from pii_extract_base_spark.operators.dedup import semantic_dedup
+    emb = _planted_embeddings(spark)
+    out = semantic_dedup(emb, k=3, iters=2, dim=16, threshold=0.95)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(got) == 7
+    # lowest id of each similar group survives; its near-copies drop
+    assert got[100] and not got[101] and not got[102]
+    assert got[10] and not got[11]
+    # singletons always survive
+    assert got[0] and got[1]
+
+
+def test_semantic_dedup_never_compares_across_clusters(spark):
+    """With k = n every vector is its own cluster: nothing can be
+    removed even at threshold 0 — the pruning is strictly
+    within-bucket (the SemDeDup contract)."""
+    from pii_extract_base_spark.operators.dedup import semantic_dedup
+    emb = _planted_embeddings(spark)
+    out = semantic_dedup(emb, k=7, iters=1, dim=16, threshold=0.0)
+    # k-means may still co-locate the planted near-copies (they ARE
+    # the same point); but the two far singletons must survive
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert got[0] and got[1]
+
+
+def test_semantic_dedup_max_cluster_cap_skips_pruning(spark):
+    from pii_extract_base_spark.operators.dedup import semantic_dedup
+    emb = _planted_embeddings(spark)
+    # cap of 1 drops every cluster from the candidate join: all kept
+    out = semantic_dedup(emb, k=2, iters=1, dim=16, threshold=0.0,
+                         max_cluster=1)
+    assert all(r["kept"] for r in out.collect())
+
+
+# ---------------------------------------------------------------- DSIR
+
+def test_dsir_upweights_target_like_docs(spark):
+    from pii_extract_base_spark.functions.dsir import dsir_weights
+    rows = [
+        (0, "alpha beta gamma alpha beta", True),
+        (1, "alpha beta gamma gamma beta", True),
+        (2, "delta epsilon zeta delta zeta", False),
+        (3, "alpha beta gamma beta alpha", False),   # target-like raw doc
+        (4, "delta epsilon zeta epsilon", False),
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = dsir_weights(df, F.col("tgt"))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 6
+    # the raw doc built from target vocabulary scores ABOVE the raw
+    # docs built from non-target vocabulary
+    assert got[3]["dsir_logratio"] > got[2]["dsir_logratio"]
+    assert got[3]["dsir_logratio"] > got[4]["dsir_logratio"]
+    # target docs themselves score positive, off-target negative
+    assert got[0]["dsir_logratio"] > 0 > got[2]["dsir_logratio"]
+    # empty doc: no evidence, weight 0
+    assert got[5]["n_words"] == 0 and got[5]["dsir_logratio"] == 0.0
+
+
+def test_dsir_weight_matches_hand_computation(spark):
+    """2-doc corpus small enough to check the add-one estimator by
+    hand: target = doc 0 = 'a a b', raw adds doc 1 = 'b c'."""
+    from pii_extract_base_spark.functions.dsir import dsir_weights
+    df = spark.createDataFrame(
+        [(0, "a a b", True), (1, "b c", False)],
+        "doc_id long, text string, tgt boolean")
+    out = {r["doc_id"]: r["dsir_logratio"]
+           for r in dsir_weights(df, F.col("tgt")).collect()}
+    # vocab v=3; n_tgt=3, n_raw=5
+    def lr(c_t, c_r):
+        return round(math.log2((c_t + 1) / (3 + 3))
+                     - math.log2((c_r + 1) / (5 + 3)), 9)
+    w0 = round((2 * lr(2, 2) + lr(1, 2)) / 3, 5)
+    w1 = round((lr(1, 2) + lr(0, 1)) / 2, 5)
+    assert out[0] == pytest.approx(w0, abs=1e-9)
+    assert out[1] == pytest.approx(w1, abs=1e-9)
+
+
+# ---------------------------------------------------------------- scripts
+
+def test_script_profile_counts_and_dominance(spark):
+    from pii_extract_base_spark.functions.charscript import script_profile
+    rows = [(0, "hello мир"),            # 5 latin, 3 cyrillic
+            (1, "αβγ δε 中文 ok"),        # greek 5, cjk 2, latin 2
+            (2, "مرحبا"),                # arabic 5
+            (3, "12345 !?"),             # nothing in-range
+            (4, None)]
+    df = spark.createDataFrame(rows, "page_id long, text string")
+    got = {r["page_id"]: r for r in script_profile(df).collect()}
+    assert (got[0]["n_latin"], got[0]["n_cyrillic"]) == (5, 3)
+    assert got[0]["script"] == "latin"
+    assert (got[1]["n_greek"], got[1]["n_cjk"], got[1]["n_latin"]) == (5, 2, 2)
+    assert got[1]["script"] == "greek"
+    assert got[2]["script"] == "arabic" and got[2]["n_arabic"] == 5
+    assert got[3]["script"] == "unknown"
+    assert got[4]["script"] == "unknown" and got[4]["n_chars"] == 0
+
+
+def test_script_profile_tie_breaks_in_fixed_order(spark):
+    from pii_extract_base_spark.functions.charscript import script_profile
+    df = spark.createDataFrame([(0, "ab мы")],   # 2 latin, 2 cyrillic
+                               "page_id long, text string")
+    assert script_profile(df).collect()[0]["script"] == "latin"
+
+
+def test_synth_multiscript_rows_deterministic():
+    from pii_extract_base_spark.functions.charscript import (
+        synth_multiscript_rows)
+    a, b = synth_multiscript_rows(60), synth_multiscript_rows(60)
+    assert a == b and len(a) == 60
+    assert all(isinstance(t, str) and t for _, t in a)
+
+
+def test_script_profile_dominant_matches_synthesis(spark):
+    """Each synthesized page is 70/30 dominated by script i mod 5 —
+    the profiler should recover the planted dominant script on the
+    large majority of pages."""
+    from pii_extract_base_spark.functions.charscript import (
+        SCRIPTS, script_profile, synth_multiscript_rows)
+    rows = synth_multiscript_rows(60)
+    df = spark.createDataFrame(rows, "page_id long, text string")
+    got = script_profile(df).collect()
+    hits = sum(1 for r in got
+               if r["script"] == SCRIPTS[r["page_id"] % len(SCRIPTS)])
+    assert hits >= 54   # >= 90% recovered
+
+
+# ---------------------------------------------------------------- contamination
+
+def test_contamination_scores_gradient(spark):
+    from pii_extract_base_spark.operators.dedup import contamination_scores
+    banner = "w1 w2 w3 w4 w5 w6 w7"
+    rows = [
+        (0, banner),                                  # == an eval doc
+        (1, banner + " x1 x2 x3 x4 x5 x6 x7"),        # partial overlap
+        (2, "y1 y2 y3 y4 y5 y6 y7 y8"),               # clean
+        (3, "z1 z2"),                                 # too short for 5-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(banner,)], "text string")
+    out = {r["doc_id"]: r
+           for r in contamination_scores(df, ev, k=5,
+                                         flag_frac=0.2).collect()}
+    assert out[0]["overlap_frac"] == 1.0 and out[0]["flagged"]
+    # doc 1: 10 distinct 5-grams, 3 from the banner
+    assert out[1]["n_shingles"] == 10 and out[1]["n_hits"] == 3
+    assert out[1]["overlap_frac"] == 0.3 and out[1]["flagged"]
+    assert out[2]["n_hits"] == 0 and not out[2]["flagged"]
+    assert out[3]["n_shingles"] == 0 and out[3]["overlap_frac"] == 0.0
+    assert not out[3]["flagged"]
