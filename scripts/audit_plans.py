@@ -138,6 +138,21 @@ AUDIT = {
     # the probed lists (isin over 3 driver-collected ids — partition-
     # prunable), per-list ADC is a CASE of literal LUT lookups
     "q82_ivfpq_residual_topk": ["Project", "TakeOrderedAndProject"],
+    # r5 SemDeDup: cluster-bucketed pair join (hash equi-join on the
+    # cluster id — never a corpus self-cross-join); removed set is a
+    # distinct HashAggregate; kmeans assign is a literal projection
+    "q83_semantic_dedup": ["HashAggregate", "Project"],
+    # r5 DSIR: one explode + stacked hash aggs build both LMs; the
+    # scalar normalizers enter via a 1-row BroadcastExchange
+    "q84_dsir_weights": ["Generate", "HashAggregate",
+                         "BroadcastExchange"],
+    # r5 script profile: pure shuffle-free projection (per-char range
+    # compares) — no Exchange anywhere in the plan
+    "q85_script_profile": ["Project"],
+    # r5 contamination report: decontaminate's broadcast-probe shape
+    # plus the per-doc re-aggregate
+    "q86_contamination_frac": ["Generate", "HashAggregate",
+                               "BroadcastExchange"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -220,6 +235,14 @@ FORBID = {
     "q82_ivfpq_residual_topk": ["CartesianProduct", "ArrowEvalPython",
                                 "BatchEvalPython", "SortAggregate"],
     "q79_sliding_span_dedup": ["CartesianProduct", "ArrowEvalPython",
+                               "BatchEvalPython", "SortAggregate"],
+    "q83_semantic_dedup": ["CartesianProduct", "ArrowEvalPython",
+                           "BatchEvalPython", "SortAggregate"],
+    "q84_dsir_weights": ["CartesianProduct", "ArrowEvalPython",
+                         "BatchEvalPython", "SortAggregate"],
+    "q85_script_profile": ["Exchange", "ArrowEvalPython",
+                           "BatchEvalPython", "SortAggregate"],
+    "q86_contamination_frac": ["CartesianProduct", "ArrowEvalPython",
                                "BatchEvalPython", "SortAggregate"],
 }
 
