@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "q80_ivfpq_topk",            # r5: IVF-PQ composed search (IVFADC)
     "q82_ivfpq_residual_topk",   # r5: residual IVFADC (per-list ADC)
     "q78_chunk_context_scan",    # D1 chunk-context scan (SQL twin)
+    "q83_semantic_dedup",        # r5: SemDeDup cluster-bucketed prune
+    "q84_dsir_weights",          # r5: DSIR importance weights
+    "q86_contamination_frac",    # r5: graded eval-overlap report
 ]
 
 

@@ -48,6 +48,13 @@ def main() -> int:
                          "text with later duplicate spans removed — "
                          "deterministic, so a re-run yields identical "
                          "counts; composes with --dedup (doc-level)")
+    ap.add_argument("--dsir", default=None, metavar="LANG=FRAC",
+                    help="DSIR data selection after sample/dedup: "
+                         "score every page's importance weight against "
+                         "the LANG-subset target LM (functions/dsir) "
+                         "and keep the top FRAC by weight via the "
+                         "two-phase quantile cut — deterministic and "
+                         "resume-stable, e.g. en=0.5")
     ap.add_argument("--mix", default=None, metavar="LANG=SHARE,...",
                     help="dataset mixing AFTER sample/dedup: assemble "
                          "--mix-budget rows at these per-lang "
@@ -94,6 +101,19 @@ def main() -> int:
         pages = pages.drop("text").join(
             spans.select("url", F.col("clean_text").alias("text")),
             "url")
+    if args.dsir:
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.functions.dsir import dsir_weights
+        from pii_extract_base_spark.functions.sampling import (
+            quantile_cut_scalable)
+        lang, frac = args.dsir.split("=", 1)
+        w = dsir_weights(pages, F.col("lang") == lang,
+                         text_col="text", id_col="url")
+        pages = (pages.join(w.select("url", "dsir_logratio"), "url")
+                      .withColumn("_all", F.lit("all")))
+        pages = (quantile_cut_scalable(pages, "_all", "dsir_logratio",
+                                       float(frac), "url")
+                 .drop("_all", "dsir_logratio"))
     if args.mix:
         from pii_extract_base_spark.functions.sampling import (
             mixture_sample)
