@@ -2059,6 +2059,30 @@ def q86_contamination_frac(spark, sf_dir):
     return contamination_scores(planted, ev, k=5, flag_frac=0.05)
 
 
+def q87_quality_calibration(spark, sf_dir):
+    """Classifier calibration sweep (functions/calibrate.
+    threshold_sweep — the distributed ROC shape): confusion counts
+    and TPR/FPR/precision at every threshold of a 64-bin histogram
+    of the q63 English-LM perplexity score, against `lang = 'en'` as
+    the label — the classic perplexity-as-classifier calibration
+    ('where should the en-ppl cut go, and what does it cost?'),
+    exactly the report that tunes a CCNet-style ppl filter. The
+    corpus is never sorted: one (min,max) aggregate, one histogram
+    hash aggregate, then the cumulative sweep runs over the 64-row
+    histogram — the only ROC rendering that survives 10^12 docs.
+    Low ppl predicts English (predict_low)."""
+    from pii_extract_base_spark.functions.calibrate import (
+        threshold_sweep)
+    from pii_extract_base_spark.functions.ppl_sql import ppl_sql
+    docs = _t(spark, sf_dir, "documents")
+    scored = (ppl_sql(docs, lang="en")
+              .join(docs.select("doc_id",
+                                (F.col("lang") == "en").alias("is_en")),
+                    "doc_id"))
+    return threshold_sweep(scored, "logppl", "is_en", n_bins=64,
+                           predict_low=True)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2169,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_incremental_dedup": q62_incremental_dedup,
         "q82_ivfpq_residual_topk": q82_ivfpq_residual_topk,
         "q86_contamination_frac": q86_contamination_frac,
+        "q87_quality_calibration": q87_quality_calibration,
     }
 
 
@@ -2324,6 +2349,21 @@ def _script_profile_oracle() -> str:
     from pii_extract_base_spark.functions.charscript import (
         script_profile_oracle_sql, synth_multiscript_rows)
     return script_profile_oracle_sql(synth_multiscript_rows(60))
+
+
+def _calibration_oracle() -> str:
+    """q87 replay: the q63 ppl CTE supplies the score, lang='en' is
+    the label, threshold_sweep's SQL twin does the binning +
+    cumulative sweep."""
+    from pii_extract_base_spark.functions.calibrate import (
+        threshold_sweep_oracle_sql)
+    from_sql = f"""(
+        WITH p AS ({_ppl_oracle("en")})
+        SELECT p.doc_id, p.logppl, (d.lang = 'en') AS is_en
+        FROM p JOIN documents d USING (doc_id)
+    ) t"""
+    return threshold_sweep_oracle_sql("logppl", "is_en", from_sql,
+                                      n_bins=64, predict_low=True)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3116,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
             k=8, iters=2, dim=64, threshold=0.4),
         "q84_dsir_weights": _dsir_oracle(),
         "q85_script_profile": _script_profile_oracle(),
+        "q87_quality_calibration": _calibration_oracle(),
         "q86_contamination_frac": f"""
             WITH planted AS (
                 SELECT doc_id,

@@ -153,6 +153,11 @@ AUDIT = {
     # plus the per-doc re-aggregate
     "q86_contamination_frac": ["Generate", "HashAggregate",
                                "BroadcastExchange"],
+    # r5 calibration sweep: corpus-side work is hash aggregates (the
+    # ppl score + the histogram); the cumulative ROC window runs over
+    # the <=64-row histogram, never the corpus
+    "q87_quality_calibration": ["HashAggregate", "Window",
+                                "BroadcastExchange"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -244,6 +249,8 @@ FORBID = {
                            "BatchEvalPython", "SortAggregate"],
     "q86_contamination_frac": ["CartesianProduct", "ArrowEvalPython",
                                "BatchEvalPython", "SortAggregate"],
+    "q87_quality_calibration": ["CartesianProduct", "ArrowEvalPython",
+                                "BatchEvalPython", "SortAggregate"],
 }
 
 
