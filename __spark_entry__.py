@@ -2083,6 +2083,41 @@ def q87_quality_calibration(spark, sf_dir):
                            predict_low=True)
 
 
+_LINE_BOILER = "accept cookies to continue reading this page"
+_LINE_FOOTER = "copyright example corp all rights reserved"
+
+
+def q88_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style corpus-wide boilerplate LINE removal
+    (operators/dedup.line_dedup_corpus; Wenzek et al. 2020
+    arXiv:1911.00359 §3.1): multi-line pages are constructed by
+    framing each doc's text with a banner line on every page, a
+    footer line on every second page, a whitespace-only line, and a
+    per-doc unique tail line. Any trimmed line occurring in >= 2
+    distinct documents is removed from ALL of them (banner, footer,
+    and any cross-doc duplicated body text), whitespace-only lines
+    and unique tails survive, and docs re-join their kept lines in
+    order. clean_text is md5-fingerprinted to keep rows compact; the
+    DuckDB oracle replays construction + rule + fingerprint."""
+    from pii_extract_base_spark.operators.dedup import line_dedup_corpus
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_LINE_BOILER),
+            F.col("text"),
+            F.lit("   "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(_LINE_FOOTER))
+             .otherwise(F.concat(F.lit("contact page "),
+                                 F.col("doc_id").cast("string"))),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                     F.lit(" tail"))).alias("text"))
+    out = line_dedup_corpus(planted, min_docs=2)
+    return out.select("doc_id", "n_lines", "n_removed",
+                      F.md5(F.col("clean_text")).alias("clean_fp"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2194,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_ivfpq_residual_topk": q82_ivfpq_residual_topk,
         "q86_contamination_frac": q86_contamination_frac,
         "q87_quality_calibration": q87_quality_calibration,
+        "q88_line_dedup": q88_line_dedup,
     }
 
 
@@ -3188,6 +3224,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_shingles, n_hits, overlap_frac,
                    overlap_frac > 0.05 AS flagged
             FROM scored
+        """,
+        "q88_line_dedup": f"""
+            -- CCNet-style boilerplate line removal over the framed
+            -- corpus (same construction as the query): any trimmed
+            -- line in >= 2 distinct docs goes; whitespace-only lines
+            -- are never counted and never removed.
+            WITH planted AS (
+                SELECT doc_id,
+                       '{_LINE_BOILER}' || chr(10) ||
+                       text || chr(10) ||
+                       '   ' || chr(10) ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '{_LINE_FOOTER}'
+                            ELSE 'contact page ' || doc_id END
+                       || chr(10) ||
+                       'doc ' || doc_id || ' tail' AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id,
+                       string_split(text, chr(10)) AS ls
+                FROM planted
+            ),
+            lines AS (
+                SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(len(ls)),
+                               i -> struct_pack(pos := i,
+                                                line := ls[i+1]))) AS u
+                    FROM split)
+            ),
+            freq AS (
+                SELECT md5(trim(line)) AS h
+                FROM lines WHERE trim(line) <> ''
+                GROUP BY 1
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l LEFT JOIN freq f
+                  ON md5(trim(l.line)) = f.h
+                WHERE f.h IS NULL
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id, count(*) AS n_lines
+                FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_lines::BIGINT AS n_lines,
+                   (t.n_lines - coalesce(a.n_kept, 0))::BIGINT
+                       AS n_removed,
+                   md5(coalesce(a.clean, '')) AS clean_fp
+            FROM tot t LEFT JOIN agg a USING (doc_id)
         """,
         "q63_ppl_sql": _ppl_oracle("en"),
         "q65_link_hosts": _host_edges_sql(),

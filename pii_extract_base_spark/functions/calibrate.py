@@ -135,8 +135,12 @@ sweep AS (
            sum(n_neg) OVER () AS all_neg
     FROM hist
 )
-SELECT bin, threshold, n_pos, n_neg, tp, fp,
-       (all_pos - tp) AS fn, (all_neg - fp) AS tn,
+SELECT bin, threshold, n_pos, n_neg,
+       -- window sums are HUGEINT in DuckDB and arrive as float64 in
+       -- pandas; pin the confusion counts to BIGINT so both the
+       -- driver's comparator and the repo contract test see integers
+       tp::BIGINT AS tp, fp::BIGINT AS fp,
+       (all_pos - tp)::BIGINT AS fn, (all_neg - fp)::BIGINT AS tn,
        round(CASE WHEN all_pos > 0 THEN tp / all_pos ELSE 0.0 END, 6)
            AS tpr,
        round(CASE WHEN all_neg > 0 THEN fp / all_neg ELSE 0.0 END, 6)

@@ -814,3 +814,69 @@ def contamination_scores(df: DataFrame, eval_df: DataFrame,
                           > F.lit(flag_frac))
               .select(id_col, "n_shingles", "n_hits", "overlap_frac",
                       "flagged"))
+
+
+def line_dedup_corpus(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_docs: int = 2) -> DataFrame:
+    """Corpus-wide boilerplate LINE removal — the line-granular dedup
+    pass of CCNet (Wenzek et al. 2020, arXiv:1911.00359 §3.1) and
+    RefinedWeb (Penedo et al. 2023, arXiv:2306.01116): any line whose
+    trimmed text occurs in at least ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, copyright footers) and is
+    removed from EVERY document; the remaining lines re-join in order.
+    Complements the word-window passes: `sliding_span_dedup` catches
+    shifted duplicated prose, this catches short verbatim lines that
+    repeat across unrelated pages (too short for an 8-word window,
+    too frequent to keep).
+
+    Semantics pinned for the SQL oracle:
+      - lines are literal '\\n' splits (trailing empties kept);
+      - frequency counts DISTINCT documents, matched on md5(trim(line));
+      - whitespace-only lines are never counted and never removed
+        (they'd be trivially corpus-frequent);
+      - the ORIGINAL (untrimmed) line text is what's removed/kept;
+      - a fully-boilerplate document survives with clean_text = ''.
+
+    Plan at scale (no pairs, no windows):
+      1. one explode to (id, pos, line) rows;
+      2. ONE hash aggregate on the 16-byte line hash with a map-side
+         partial (countDistinct id) — a banner on 10^9 pages is one
+         group, not 10^18 pairs;
+      3. the frequent-line set (tiny: it's the boilerplate vocabulary
+         of the crawl) hash-anti-joins the line rows — AQE broadcasts
+         it when it fits;
+      4. per-doc re-aggregate (collect_list bounded by doc length).
+
+    Returns one row per input doc:
+    (id_col, n_lines, n_removed, clean_text).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+         .alias("pos", "line"))
+    h = F.md5(F.trim(F.col("line")))
+    freq = (lines.where(F.trim(F.col("line")) != "")
+                 .groupBy(h.alias("h"))
+                 .agg(F.countDistinct(id_col).alias("_ndocs"))
+                 .where(F.col("_ndocs") >= min_docs)
+                 .select("h"))
+    kept = lines.join(freq, h == freq["h"], "left_anti")
+    agg = (kept.groupBy(id_col)
+               .agg(F.count("*").alias("_n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "line"))),
+                            lambda s: s["line"]), "\n")
+                     .alias("_clean")))
+    tot = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (tot.join(agg, id_col, "left")
+               .select(
+                   id_col,
+                   F.col("n_lines").cast("long").alias("n_lines"),
+                   (F.col("n_lines")
+                    - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                       .cast("long").alias("n_removed"),
+                   F.coalesce(F.col("_clean"), F.lit(""))
+                    .alias("clean_text")))

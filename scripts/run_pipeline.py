@@ -48,6 +48,14 @@ def main() -> int:
                          "text with later duplicate spans removed — "
                          "deterministic, so a re-run yields identical "
                          "counts; composes with --dedup (doc-level)")
+    ap.add_argument("--dedup-lines", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="CCNet-style corpus-wide boilerplate LINE "
+                         "removal: any trimmed line occurring in >= "
+                         "MIN_DOCS distinct pages is stripped from "
+                         "all of them (nav bars, cookie banners, "
+                         "footers); deterministic, composes with the "
+                         "doc/span-level passes")
     ap.add_argument("--dsir", default=None, metavar="LANG=FRAC",
                     help="DSIR data selection after sample/dedup: "
                          "score every page's importance weight against "
@@ -100,6 +108,16 @@ def main() -> int:
         # every other page column rides through untouched
         pages = pages.drop("text").join(
             spans.select("url", F.col("clean_text").alias("text")),
+            "url")
+    if args.dedup_lines:
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.operators.dedup import (
+            line_dedup_corpus)
+        cleaned = line_dedup_corpus(pages, text_col="text",
+                                    id_col="url",
+                                    min_docs=args.dedup_lines)
+        pages = pages.drop("text").join(
+            cleaned.select("url", F.col("clean_text").alias("text")),
             "url")
     if args.dsir:
         from pyspark.sql import functions as F

@@ -182,3 +182,49 @@ def test_contamination_scores_gradient(spark):
     assert out[2]["n_hits"] == 0 and not out[2]["flagged"]
     assert out[3]["n_shingles"] == 0 and out[3]["overlap_frac"] == 0.0
     assert not out[3]["flagged"]
+
+
+# --------------------------------------------------------- line dedup (q88)
+
+def test_line_dedup_removes_corpus_frequent_lines(spark):
+    from pii_extract_base_spark.operators.dedup import line_dedup_corpus
+    rows = [
+        (1, "BANNER\nunique one\n\nfooter"),
+        (2, "BANNER\nunique two\n  \nfooter"),
+        (3, "BANNER"),                    # fully boilerplate
+        (4, " BANNER \nsolo line"),       # trimmed match, orig removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_corpus(df).collect()}
+    # BANNER (4 docs) and footer (2 docs) are removed everywhere
+    assert out[1]["clean_text"] == "unique one\n"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    # whitespace-only lines are never counted and never removed
+    assert out[2]["clean_text"] == "unique two\n  "
+    # fully-boilerplate doc survives with empty text
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+    # trimmed-form match removes the untrimmed original
+    assert out[4]["clean_text"] == "solo line"
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    from pii_extract_base_spark.operators.dedup import line_dedup_corpus
+    rows = [(1, "twice\nonce a"), (2, "twice\nonce b"),
+            (3, "thrice\nonce c"), (4, "thrice"), (5, "thrice")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_dedup_corpus(df, min_docs=3).collect()}
+    # 'twice' (2 docs) survives a min_docs=3 cut; 'thrice' (3) does not
+    assert out[1]["clean_text"] == "twice\nonce a"
+    assert out[3]["clean_text"] == "once c"
+    assert out[4]["clean_text"] == ""
+
+
+def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
+    from pii_extract_base_spark.operators.dedup import line_dedup_corpus
+    # the same line 5x inside ONE doc is not corpus-boilerplate
+    rows = [(1, "rep\nrep\nrep\nrep\nrep"), (2, "other line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_corpus(df).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == "rep\nrep\nrep\nrep\nrep"
