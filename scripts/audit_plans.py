@@ -158,6 +158,10 @@ AUDIT = {
     # the <=64-row histogram, never the corpus
     "q87_quality_calibration": ["HashAggregate", "Window",
                                 "BroadcastExchange"],
+    # r5 boilerplate line dedup: one explode, one line-hash
+    # HashAggregate (countDistinct doc), anti-join the tiny frequent
+    # set, per-doc re-aggregate — no pairs, no windows, no self-join
+    "q88_line_dedup": ["Generate", "HashAggregate"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -251,6 +255,8 @@ FORBID = {
                                "BatchEvalPython", "SortAggregate"],
     "q87_quality_calibration": ["CartesianProduct", "ArrowEvalPython",
                                 "BatchEvalPython", "SortAggregate"],
+    "q88_line_dedup": ["CartesianProduct", "ArrowEvalPython",
+                       "BatchEvalPython", "SortAggregate"],
 }
 
 
