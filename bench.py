@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q83_semantic_dedup",        # r5: SemDeDup cluster-bucketed prune
     "q84_dsir_weights",          # r5: DSIR importance weights
     "q86_contamination_frac",    # r5: graded eval-overlap report
+    "q88_line_dedup",            # r5: CCNet boilerplate line dedup
 ]
 
 

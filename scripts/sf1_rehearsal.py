@@ -145,6 +145,30 @@ def main():
     print(json.dumps({"job": "mixture_sample",
                       **results["mixture_sample"]}), flush=True)
 
+    # -- 4. boilerplate line dedup over the full corpus ---------------------
+    # frame every doc with a shared banner/footer so the frequent-line
+    # aggregate sees a single group spanning ALL ~3M docs — the exact
+    # hot-key shape the operator claims to survive (one hash group,
+    # never pairs; countDistinct's partial agg spreads the (hash, doc)
+    # expansion across partitions)
+    from pii_extract_base_spark.operators.dedup import line_dedup_corpus
+    t0 = time.time()
+    framed = big.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("accept all cookies to continue"),
+                    F.col("text"),
+                    F.lit("copyright example corp"))
+         .alias("text"))
+    ld = line_dedup_corpus(framed, min_docs=2)
+    row = ld.agg(F.count("*").alias("docs"),
+                 F.sum("n_removed").alias("lines_removed")).collect()[0]
+    sec = time.time() - t0
+    results["line_dedup"] = {"sec": round(sec, 1), "docs": row["docs"],
+                             "lines_removed": row["lines_removed"],
+                             "docs_per_sec": round(n_docs / sec, 0)}
+    print(json.dumps({"job": "line_dedup", **results["line_dedup"]}),
+          flush=True)
+
     results["stage_peaks"] = stage_peaks(spark)
     print(json.dumps({"job": "summary", "n_docs": n_docs,
                       **results["stage_peaks"]}), flush=True)
