@@ -2118,6 +2118,24 @@ def q88_line_dedup(spark, sf_dir):
                       F.md5(F.col("clean_text")).alias("clean_fp"))
 
 
+def q89_pack_examples(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing
+    (operators/sharding.pack_examples + example_manifest): the token
+    streams of all docs in id order are concatenated and cut every
+    512 tokens into fixed-length training examples (docs SPLIT across
+    boundaries — the no-padding pre-training layout, vs q59's
+    whole-doc shard binning). Spark side: one two-phase distributed
+    prefix sum + a bounded (doc, example) explode; the oracle replays
+    the cumsum with DuckDB's serial window and the same overlap
+    arithmetic, proving every example holds exactly 512 tokens except
+    the stream tail."""
+    from pii_extract_base_spark.operators.sharding import (
+        example_manifest, pack_examples)
+    docs = _t(spark, sf_dir, "documents")
+    spans = pack_examples(docs, seq_len=512, num_partitions=8)
+    return example_manifest(spans, seq_len=512)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2233,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_cube_stats": q31_cube_stats,
         "q86_contamination_frac": q86_contamination_frac,
         "q87_quality_calibration": q87_quality_calibration,
+        "q89_pack_examples": q89_pack_examples,
     }
 
 
@@ -3285,6 +3304,38 @@ def oracle_sql() -> dict[str, str]:
                        AS n_removed,
                    md5(coalesce(a.clean, '')) AS clean_fp
             FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "q89_pack_examples": f"""
+            -- serial replay of concat-and-chunk packing: cumsum over
+            -- doc_id order, each non-empty doc spans examples
+            -- floor(tb/512)..floor((tb+n-1)/512); contribution to
+            -- example e = overlap of [tb, tb+n) with [512e, 512e+512)
+            WITH t AS (
+                SELECT doc_id, len({_DUCK_WORDS})::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       (sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n_tokens)::BIGINT AS tb
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, n_tokens, tb,
+                       unnest(range(tb // 512,
+                                    (tb + n_tokens - 1) // 512 + 1))
+                           AS example
+                FROM c WHERE n_tokens > 0
+            )
+            SELECT example::BIGINT AS example,
+                   count(*) AS n_docs,
+                   sum(least(tb + n_tokens, (example + 1) * 512)
+                       - greatest(tb, example * 512))::BIGINT
+                       AS n_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM e GROUP BY 1
         """,
         "q63_ppl_sql": _ppl_oracle("en"),
         "q65_link_hosts": _host_edges_sql(),

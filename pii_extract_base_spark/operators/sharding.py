@@ -113,3 +113,72 @@ def shard_manifest(assign: DataFrame, id_col: str = "doc_id"
                        F.sum("n_tokens").alias("n_tokens"),
                        F.min(id_col).alias("first_doc"),
                        F.max(id_col).alias("last_doc")))
+
+
+def pack_examples(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seq_len: int = 512,
+                  num_partitions: Optional[int] = None) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing, as a per-doc
+    example-span map: the token streams of all docs (in ``id_col``
+    order) are conceptually concatenated and cut every ``seq_len``
+    tokens into fixed-length training examples; a doc whose tokens
+    occupy stream positions [tokens_before, tokens_before + n) spans
+    examples floor(tokens_before/L) .. floor((tokens_before + n - 1)/L).
+
+    Unlike `token_budget_shards` (whole docs binned by their FIRST
+    token), packing SPLITS docs across example boundaries — the
+    standard pre-training layout (every example exactly ``seq_len``
+    tokens, no padding) — so the output is a span map, not a single
+    assignment.  Output: (id, n_tokens, tokens_before, first_example,
+    last_example, n_examples); empty docs get NULL spans and
+    n_examples = 0.
+
+    Scale shape: one two-phase prefix sum (see module docstring) and
+    pure projections — no extra shuffle, nothing per-token ever
+    materialized.  The downstream writer turns one span-map partition
+    into examples locally; `example_manifest` derives the example-level
+    rollup with a BOUNDED explode (total (doc, example) pairs
+    = total_tokens/L + n_docs, each doc contributing n_examples rows).
+    """
+    toks = df.select(F.col(id_col),
+                     token_count(text_col).cast("long").alias("n_tokens"))
+    cum = distributed_prefix_sum(toks, "n_tokens", id_col,
+                                 out_col="_cum",
+                                 num_partitions=num_partitions)
+    tb = F.col("_cum") - F.col("n_tokens")
+    first = F.floor(tb / F.lit(seq_len)).cast("long")
+    last = F.floor((F.col("_cum") - 1) / F.lit(seq_len)).cast("long")
+    nonempty = F.col("n_tokens") > 0
+    return cum.select(
+        id_col, "n_tokens", tb.alias("tokens_before"),
+        F.when(nonempty, first).alias("first_example"),
+        F.when(nonempty, last).alias("last_example"),
+        F.when(nonempty, last - first + 1)
+         .otherwise(F.lit(0)).cast("long").alias("n_examples"))
+
+
+def example_manifest(spans: DataFrame, seq_len: int = 512,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Example-level rollup of a `pack_examples` span map:
+    (example, n_docs, n_tokens, first_doc, last_doc).  n_tokens equals
+    ``seq_len`` for every example except the stream tail — the no-pad
+    invariant the tests pin.  Each doc explodes to its n_examples span
+    rows (bounded: see `pack_examples`), contribution to example e is
+    the overlap of [tokens_before, tokens_before+n) with [e·L, (e+1)·L).
+    """
+    L = F.lit(seq_len).cast("long")
+    ex = F.col("example")
+    start = F.col("tokens_before")
+    end = start + F.col("n_tokens")
+    contrib = (F.least(end, (ex + 1) * L)
+               - F.greatest(start, ex * L))
+    return (spans.where(F.col("n_examples") > 0)
+                 .select(id_col, "tokens_before", "n_tokens",
+                         F.explode(F.sequence(F.col("first_example"),
+                                              F.col("last_example")))
+                          .alias("example"))
+                 .groupBy("example")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum(contrib).alias("n_tokens"),
+                      F.min(id_col).alias("first_doc"),
+                      F.max(id_col).alias("last_doc")))

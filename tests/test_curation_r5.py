@@ -228,3 +228,75 @@ def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
     out = {r["doc_id"]: r for r in line_dedup_corpus(df).collect()}
     assert out[1]["n_removed"] == 0
     assert out[1]["clean_text"] == "rep\nrep\nrep\nrep\nrep"
+
+
+# ------------------------------------------------------ sequence packing
+
+def _packing_docs(spark):
+    """Docs with known token counts (doc i has i+1 tokens), plus an
+    empty doc and a doc longer than one example."""
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1)))
+            for i in range(6)]                    # 1..6 tokens
+    rows.append((6, ""))                          # empty
+    rows.append((7, " ".join(["x"] * 23)))        # spans many examples
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_examples_span_arithmetic(spark):
+    from pii_extract_base_spark.operators.sharding import pack_examples
+    docs = _packing_docs(spark)
+    out = {r["doc_id"]: r for r in
+           pack_examples(docs, seq_len=8, num_partitions=3).collect()}
+    # stream: doc0 tokens [0,1) doc1 [1,3) doc2 [3,6) doc3 [6,10)
+    #         doc4 [10,15) doc5 [15,21) doc6 empty doc7 [21,44)
+    assert out[0]["tokens_before"] == 0
+    assert (out[3]["first_example"], out[3]["last_example"]) == (0, 1)
+    assert out[3]["n_examples"] == 2          # straddles the 8-boundary
+    assert (out[4]["first_example"], out[4]["last_example"]) == (1, 1)
+    assert out[6]["n_examples"] == 0
+    assert out[6]["first_example"] is None
+    assert (out[7]["first_example"], out[7]["last_example"]) == (2, 5)
+    assert out[7]["n_examples"] == 4
+
+
+def test_example_manifest_no_pad_invariant(spark):
+    """Every example holds exactly seq_len tokens except the tail,
+    and total manifest tokens == total corpus tokens."""
+    from pii_extract_base_spark.operators.sharding import (
+        example_manifest, pack_examples)
+    docs = _packing_docs(spark)
+    spans = pack_examples(docs, seq_len=8, num_partitions=3)
+    man = example_manifest(spans, seq_len=8).orderBy("example").collect()
+    total = 1 + 2 + 3 + 4 + 5 + 6 + 0 + 23    # 44 tokens
+    assert [r["example"] for r in man] == list(range(6))  # ceil(44/8)
+    assert [r["n_tokens"] for r in man] == [8, 8, 8, 8, 8, 4]
+    assert sum(r["n_tokens"] for r in man) == total
+    # doc7 (stream [21,44)) is the only doc in examples 3 and 4
+    assert man[3]["n_docs"] == 1 and man[3]["first_doc"] == 7
+    # example 2 holds the tail of doc5 ([15,21)) and head of doc7
+    assert man[2]["n_docs"] == 2
+    assert (man[2]["first_doc"], man[2]["last_doc"]) == (5, 7)
+
+
+def test_pack_examples_matches_serial_replay(spark):
+    """Distributed prefix-sum packing == a serial Python replay on
+    the same corpus (the q89 oracle's logic)."""
+    from pii_extract_base_spark.operators.sharding import pack_examples
+    import random
+    rng = random.Random(89)
+    rows = [(i, " ".join(["t"] * rng.randint(0, 40)))
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_examples(docs, seq_len=16, num_partitions=7).collect()}
+    tb = 0
+    for i, text in rows:
+        n = len(text.split())
+        assert got[i]["n_tokens"] == n
+        assert got[i]["tokens_before"] == tb
+        if n == 0:
+            assert got[i]["n_examples"] == 0
+        else:
+            assert got[i]["first_example"] == tb // 16
+            assert got[i]["last_example"] == (tb + n - 1) // 16
+        tb += n
