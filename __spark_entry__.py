@@ -2167,7 +2167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window, q31 stays registered for the judge's re-run)
         "q88_line_dedup": q88_line_dedup,
         "q35_priority_pivot": q35_priority_pivot,
-        "q36_top_tokens": q36_top_tokens,
+        # r5: q89 (sequence packing — new operator) in-window in place
+        # of q36; the sort/limit/top-k family stays covered in-window
+        # by q04 (top-N per group) and q14 (ANN top-5), and q36 keeps
+        # its hash check via the judge's out-of-window re-run
+        "q89_pack_examples": q89_pack_examples,
         "q37_running_revenue": q37_running_revenue,
         "q38_slow_quarters": q38_slow_quarters,
         "q39_dedup_corpus": q39_dedup_corpus,
@@ -2215,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_sliding_span_dedup": q79_sliding_span_dedup,
         # -- beyond the driver window: retained variants + no-oracle -------
         "q02_top_revenue_orders": q02_top_revenue_orders,
+        "q36_top_tokens": q36_top_tokens,
         "q05_customers_no_orders": q05_customers_no_orders,
         "q34_nations_gap": q34_nations_gap,
         "q06_order_priority_stats": q06_order_priority_stats,
@@ -2251,7 +2256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_cube_stats": q31_cube_stats,
         "q86_contamination_frac": q86_contamination_frac,
         "q87_quality_calibration": q87_quality_calibration,
-        "q89_pack_examples": q89_pack_examples,
     }
 
 

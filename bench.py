@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q84_dsir_weights",          # r5: DSIR importance weights
     "q86_contamination_frac",    # r5: graded eval-overlap report
     "q88_line_dedup",            # r5: CCNet boilerplate line dedup
+    "q89_pack_examples",         # r5: concat-and-chunk sequence packing
 ]
 
 

@@ -162,6 +162,11 @@ AUDIT = {
     # HashAggregate (countDistinct doc), anti-join the tiny frequent
     # set, per-doc re-aggregate — no pairs, no windows, no self-join
     "q88_line_dedup": ["Generate", "HashAggregate"],
+    # r5 concat-and-chunk packing: the q59 two-phase prefix sum
+    # (per-partition windows + broadcast offsets), then a BOUNDED
+    # (doc, example) sequence-explode + hash rollup — no global window
+    "q89_pack_examples": ["BroadcastHashJoin", "Window", "Generate",
+                          "HashAggregate"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -257,6 +262,9 @@ FORBID = {
                                 "BatchEvalPython", "SortAggregate"],
     "q88_line_dedup": ["CartesianProduct", "ArrowEvalPython",
                        "BatchEvalPython", "SortAggregate"],
+    "q89_pack_examples": ["CartesianProduct", "ArrowEvalPython",
+                          "BatchEvalPython", "SortAggregate",
+                          "SortMergeJoin"],
 }
 
 
