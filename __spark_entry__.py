@@ -2136,6 +2136,24 @@ def q89_pack_examples(spark, sf_dir):
     return example_manifest(spans, seq_len=512)
 
 
+def q90_lm_fit_ppl(spark, sf_dir):
+    """CCNet's TRAINING half (functions/lmtrain; Wenzek et al. 2020
+    §3.2): fit an add-k word-bigram LM on the target slice (lang='en'
+    standing in for Wikipedia) with ONE bigram hash aggregate + a w1
+    rollup, then score EVERY document's perplexity under the fit
+    model — unseen contexts/pairs fall out of the same smoothing
+    formula, scalars (V, k) enter as a 1-row broadcast cross join,
+    and score-side lookups are paid once per DISTINCT bigram (the
+    q63 vocabulary-memoization shape). q63 scores under a FIXED toy
+    LM; this is the stage that fits the LM on the corpus. Rounded to
+    5dp (log2/division ulp noise, same contract as q63)."""
+    from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_fit_score(docs, F.col("lang") == "en")
+    return out.select("doc_id", "n_bigrams",
+                      F.round(F.col("logppl"), 5).alias("logppl_r"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2256,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_cube_stats": q31_cube_stats,
         "q86_contamination_frac": q86_contamination_frac,
         "q87_quality_calibration": q87_quality_calibration,
+        "q90_lm_fit_ppl": q90_lm_fit_ppl,
     }
 
 
@@ -3340,6 +3359,56 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
             FROM e GROUP BY 1
+        """,
+        "q90_lm_fit_ppl": f"""
+            -- serial replay of the corpus-fit add-0.5 bigram LM:
+            -- counts on the lang='en' slice, every doc scored with
+            -- p(w2|w1) = (c2 + .5)/(c1 + .5*V); docs with < 2 words
+            -- score the EMPTY_PPL sentinel 99.0
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_transform({_DUCK_WORDS}, w -> lower(w)) AS a
+                FROM documents
+            ),
+            bgs AS (
+                SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2 FROM (
+                    SELECT doc_id, lang,
+                           unnest(CASE WHEN len(a) >= 2 THEN
+                               list_transform(range(len(a) - 1),
+                                   i -> struct_pack(w1 := a[i+1],
+                                                    w2 := a[i+2]))
+                               ELSE [] END) AS u
+                    FROM toks)
+            ),
+            bg AS (
+                SELECT w1, w2, count(*)::BIGINT AS c2
+                FROM bgs WHERE lang = 'en' GROUP BY w1, w2
+            ),
+            ctx AS (
+                SELECT w1, sum(c2)::BIGINT AS c1 FROM bg GROUP BY w1
+            ),
+            voc AS (
+                SELECT count(DISTINCT w)::DOUBLE AS v
+                FROM (SELECT unnest(a) AS w FROM toks
+                      WHERE lang = 'en')
+            ),
+            lp AS (
+                SELECT o.doc_id,
+                       log2((coalesce(b.c2, 0) + 0.5)
+                            / (coalesce(c.c1, 0)
+                               + 0.5 * (SELECT v FROM voc))) AS lp
+                FROM bgs o
+                LEFT JOIN bg b ON o.w1 = b.w1 AND o.w2 = b.w2
+                LEFT JOIN ctx c ON o.w1 = c.w1
+            ),
+            per AS (
+                SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS ppl
+                FROM lp GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(coalesce(p.ppl, 99.0), 5) AS logppl_r
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "q63_ppl_sql": _ppl_oracle("en"),
         "q65_link_hosts": _host_edges_sql(),

@@ -167,6 +167,11 @@ AUDIT = {
     # (doc, example) sequence-explode + hash rollup — no global window
     "q89_pack_examples": ["BroadcastHashJoin", "Window", "Generate",
                           "HashAggregate"],
+    # r5 corpus-fit bigram LM: bigram explode + count hash aggs fit
+    # the model; (V,k) scalars enter via a 1-row BroadcastExchange;
+    # distinct score-side pairs join the count tables (hash joins)
+    "q90_lm_fit_ppl": ["Generate", "HashAggregate",
+                       "BroadcastExchange"],
     # r4 D1 SQL twin: posexplode chunks, lag window, codegen scan
     "q78_chunk_context_scan": ["Generate", "Window", "HashAggregate"],
     # r4 ExactSubstr sliding-span removal: window explode, keep-first
@@ -265,6 +270,8 @@ FORBID = {
     "q89_pack_examples": ["CartesianProduct", "ArrowEvalPython",
                           "BatchEvalPython", "SortAggregate",
                           "SortMergeJoin"],
+    "q90_lm_fit_ppl": ["CartesianProduct", "ArrowEvalPython",
+                       "BatchEvalPython", "SortAggregate"],
 }
 
 

@@ -300,3 +300,71 @@ def test_pack_examples_matches_serial_replay(spark):
             assert got[i]["first_example"] == tb // 16
             assert got[i]["last_example"] == (tb + n - 1) // 16
         tb += n
+
+
+# ------------------------------------------------ corpus-fit bigram LM
+
+def test_bigram_lm_hand_computed(spark):
+    """2-doc training corpus, probabilities checked by hand."""
+    import math
+    from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+    docs = spark.createDataFrame(
+        [(0, "a b a b", "en"), (1, "a b c", "en"),
+         (2, "a b", "fr"),       # scored, not trained on
+         (3, "z q", "fr"),       # fully unseen bigram + context
+         (4, "solo", "fr")],     # < 2 words -> sentinel
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           lm_fit_score(docs, F.col("lang") == "en").collect()}
+    # training bigrams: doc0 (a,b)(b,a)(a,b), doc1 (a,b)(b,c)
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1 ; c1: a=3 b=2 ; V=3 (a,b,c)
+    v, k = 3.0, 0.5
+    p_ab = (3 + k) / (3 + k * v)
+    p_ba = (1 + k) / (2 + k * v)
+    p_bc = (1 + k) / (2 + k * v)
+    exp0 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    assert abs(out[0]["logppl"] - exp0) < 1e-12
+    assert out[0]["n_bigrams"] == 3
+    exp2 = -math.log2(p_ab)
+    assert abs(out[2]["logppl"] - exp2) < 1e-12
+    # unseen context z: p = (0+k)/(0+k*V) = 1/V
+    exp3 = -math.log2(1.0 / v)
+    assert abs(out[3]["logppl"] - exp3) < 1e-12
+    assert out[4]["logppl"] == 99.0 and out[4]["n_bigrams"] == 0
+
+
+def test_bigram_lm_conditional_normalizes(spark):
+    """Smoothed p(.|w1) sums to 1 over the event space (V seen words
+    + the unseen mass folded into V add-k slots) for a seen context:
+    sum over observed w2 of (c2+k)/(c1+kV) + (V - #observed) * k/(c1+kV)
+    == 1 because c1 = sum c2 (context counts ARE bigram-start counts)."""
+    from pii_extract_base_spark.functions.lmtrain import bigram_lm_fit
+    docs = spark.createDataFrame(
+        [(0, "a b a c a b b d", "en")],
+        "doc_id long, text string, lang string")
+    bg, ctx, scalars = bigram_lm_fit(docs)
+    rows = bg.collect()
+    v = scalars.collect()[0]["v"]
+    k = 0.5
+    for c in {r["w1"] for r in rows}:
+        c1 = sum(r["c2"] for r in rows if r["w1"] == c)
+        obs = [(r["c2"] + k) / (c1 + k * v)
+               for r in rows if r["w1"] == c]
+        n_obs = len(obs)
+        total = sum(obs) + (v - n_obs) * k / (c1 + k * v)
+        assert abs(total - 1.0) < 1e-12
+
+
+def test_bigram_lm_target_docs_score_lower(spark):
+    """Docs resembling the training slice get lower (better) ppl than
+    out-of-domain docs — the property the CCNet cut relies on."""
+    from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+    rows = [(i, "the cat sat on the mat and the dog ran", "en")
+            for i in range(10)]
+    rows.append((100, "the cat sat on the mat", "fr"))   # in-domain
+    rows.append((101, "zq xv wk yj qq zz pp", "fr"))     # gibberish
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["logppl"] for r in
+           lm_fit_score(docs, F.col("lang") == "en").collect()}
+    assert out[100] < out[101]
