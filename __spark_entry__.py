@@ -718,18 +718,12 @@ def q52_decontaminate(spark, sf_dir):
             .select("doc_id", "lang"))
 
 
-def q53_dup_clusters(spark, sf_dir):
-    """Near-duplicate CLUSTERS via distributed connected components
-    (large-star/small-star, operators/graph.py): edges are the union
-    of exact-dup pairs (doc ↔ its md5-group representative) and
-    LSH-verified near-dup pairs (Jaccard >= 0.5); cluster id = min doc
-    id of the component. The DuckDB oracle replays the identical edge
-    set and closes it with a recursive CTE — verifying the O(log²n)
-    star-contraction loop against a declarative transitive closure."""
+def _dup_edges(docs):
+    """Shared by q53/q91: exact-dup pairs (doc ↔ its md5-group
+    representative) unioned with LSH-verified near-dup pairs
+    (Jaccard >= 0.5)."""
     from pii_extract_base_spark.operators.dedup import (
         lsh_candidate_pairs, ngram_jaccard_pairs)
-    from pii_extract_base_spark.operators.graph import connected_components
-    docs = _t(spark, sf_dir, "documents")
     fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
     ids = docs.select("doc_id", fp.alias("_fp"))
     reps = ids.groupBy("_fp").agg(F.min("doc_id").alias("_keep"))
@@ -741,7 +735,20 @@ def q53_dup_clusters(spark, sf_dir):
                                family="md5slice", max_bucket=500)
     near = (ngram_jaccard_pairs(docs, cand, k=5)
             .where(F.col("jaccard") >= 0.5).select("id_a", "id_b"))
-    return connected_components(exact_pairs.union(near),
+    return exact_pairs.union(near)
+
+
+def q53_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS via distributed connected components
+    (large-star/small-star, operators/graph.py): edges are the union
+    of exact-dup pairs (doc ↔ its md5-group representative) and
+    LSH-verified near-dup pairs (Jaccard >= 0.5); cluster id = min doc
+    id of the component. The DuckDB oracle replays the identical edge
+    set and closes it with a recursive CTE — verifying the O(log²n)
+    star-contraction loop against a declarative transitive closure."""
+    from pii_extract_base_spark.operators.graph import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    return connected_components(_dup_edges(docs),
                                 node_col="doc_id", cluster_col="cluster")
 
 
@@ -2154,6 +2161,27 @@ def q90_lm_fit_ppl(spark, sf_dir):
                       F.round(F.col("logppl"), 5).alias("logppl_r"))
 
 
+def q91_cluster_retention(spark, sf_dir):
+    """Quality-aware duplicate-cluster retention (operators/dedup
+    `quality_retention` — the Dolma/RefinedWeb policy): q53's
+    connected components assign clusters, then the LONGEST document
+    per cluster is kept (ties -> lowest id) instead of blindly the
+    lowest id; singletons keep themselves. Winner election is ONE
+    max_by hash aggregate over a (quality, -id) struct — never a
+    per-cluster sort window. Oracle chains q53's recursive-closure
+    CTEs with a serial rank replay."""
+    from pii_extract_base_spark.functions.textstats import token_count
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    from pii_extract_base_spark.operators.graph import connected_components
+    docs = _t(spark, sf_dir, "documents")
+    clusters = connected_components(_dup_edges(docs),
+                                    node_col="doc_id",
+                                    cluster_col="cluster")
+    return quality_retention(docs, clusters,
+                             token_count("text").cast("long"),
+                             quality_name="n_words")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2275,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_contamination_frac": q86_contamination_frac,
         "q87_quality_calibration": q87_quality_calibration,
         "q90_lm_fit_ppl": q90_lm_fit_ppl,
+        "q91_cluster_retention": q91_cluster_retention,
     }
 
 
@@ -2502,6 +2531,57 @@ def oracle_sql() -> dict[str, str]:
         f"h -> CASE WHEN (h & {1 << b}) <> 0 THEN 1 ELSE -1 END)), 0) > 0 "
         f"THEN {1 << b} ELSE 0 END)"
         for b in range(16))
+
+    # -- shared by q53/q91: exact+near duplicate edge set, closed
+    # transitively (min reachable id == component min; edges are
+    # symmetric and UNION dedups, so the recursion terminates)
+    dup_cc_ctes = f"""ids AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS fp
+                FROM documents
+            ),
+            exact_pairs AS (
+                SELECT g.keep AS id_a, i.doc_id AS id_b FROM ids i
+                JOIN (SELECT fp, min(doc_id) AS keep FROM ids
+                      GROUP BY fp) g ON i.fp = g.fp
+                WHERE i.doc_id <> g.keep
+            ),
+            sig AS (
+                SELECT doc_id, [{minhash_sig}] AS sig
+                FROM documents WHERE len({shingles5}) > 0
+            ),
+            bands AS (
+                SELECT doc_id, t.b AS band,
+                       sig[2*t.b + 1]::VARCHAR || '#' ||
+                       sig[2*t.b + 2]::VARCHAR AS bkey
+                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+                QUALIFY count(*) OVER (PARTITION BY band, bkey)
+                        <= {MAX_BUCKET}
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+                FROM bands x JOIN bands y USING (band, bkey)
+                WHERE x.doc_id < y.doc_id
+            ),
+            sh AS (SELECT doc_id, {shingles5} AS sh FROM documents),
+            near_pairs AS (
+                SELECT id_a, id_b FROM cand
+                JOIN sh a ON a.doc_id = id_a
+                JOIN sh b ON b.doc_id = id_b
+                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                            / len(list_distinct(a.sh || b.sh)), 6)
+                      >= 0.5
+            ),
+            all_pairs AS (SELECT * FROM exact_pairs
+                          UNION SELECT * FROM near_pairs),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM all_pairs
+                UNION SELECT id_b, id_a FROM all_pairs
+            ),
+            reach(u, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            )"""
 
     return {
         "q01_pricing_summary": """
@@ -3174,56 +3254,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "q53_dup_clusters": f"""
-            WITH RECURSIVE ids AS (
-                SELECT doc_id, md5(coalesce(text, '')) AS fp
+            WITH RECURSIVE {dup_cc_ctes}
+            SELECT u AS doc_id, min(lbl) AS cluster FROM reach GROUP BY u
+        """,
+        "q91_cluster_retention": f"""
+            -- quality-aware retention: same edge set + closure as
+            -- q53, singletons are their own cluster, the kept doc per
+            -- cluster is the LONGEST (ties -> lowest id)
+            WITH RECURSIVE {dup_cc_ctes},
+            clusters AS (
+                SELECT u AS doc_id, min(lbl) AS cluster
+                FROM reach GROUP BY u
+            ),
+            nw AS (
+                SELECT doc_id, len({words})::BIGINT AS n_words
                 FROM documents
             ),
-            exact_pairs AS (
-                SELECT g.keep AS id_a, i.doc_id AS id_b FROM ids i
-                JOIN (SELECT fp, min(doc_id) AS keep FROM ids
-                      GROUP BY fp) g ON i.fp = g.fp
-                WHERE i.doc_id <> g.keep
+            fullset AS (
+                SELECT n.doc_id,
+                       coalesce(c.cluster, n.doc_id) AS cluster,
+                       n.n_words
+                FROM nw n LEFT JOIN clusters c USING (doc_id)
             ),
-            sig AS (
-                SELECT doc_id, [{minhash_sig}] AS sig
-                FROM documents WHERE len({shingles5}) > 0
-            ),
-            bands AS (
-                SELECT doc_id, t.b AS band,
-                       sig[2*t.b + 1]::VARCHAR || '#' ||
-                       sig[2*t.b + 2]::VARCHAR AS bkey
-                FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
-                QUALIFY count(*) OVER (PARTITION BY band, bkey)
-                        <= {MAX_BUCKET}
-            ),
-            cand AS (
-                SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-                FROM bands x JOIN bands y USING (band, bkey)
-                WHERE x.doc_id < y.doc_id
-            ),
-            sh AS (SELECT doc_id, {shingles5} AS sh FROM documents),
-            near_pairs AS (
-                SELECT id_a, id_b FROM cand
-                JOIN sh a ON a.doc_id = id_a
-                JOIN sh b ON b.doc_id = id_b
-                WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                            / len(list_distinct(a.sh || b.sh)), 6)
-                      >= 0.5
-            ),
-            all_pairs AS (SELECT * FROM exact_pairs
-                          UNION SELECT * FROM near_pairs),
-            edges AS (
-                SELECT id_a AS u, id_b AS v FROM all_pairs
-                UNION SELECT id_b, id_a FROM all_pairs
-            ),
-            -- transitive closure: min reachable id == component min
-            -- (edges are symmetric); UNION dedups, so it terminates
-            reach(u, lbl) AS (
-                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-                UNION
-                SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+            win AS (
+                SELECT cluster, doc_id AS keep_id FROM fullset
+                QUALIFY row_number() OVER (
+                    PARTITION BY cluster
+                    ORDER BY n_words DESC, doc_id ASC) = 1
             )
-            SELECT u AS doc_id, min(lbl) AS cluster FROM reach GROUP BY u
+            SELECT f.doc_id, f.cluster, f.n_words,
+                   (f.doc_id = w.keep_id) AS kept
+            FROM fullset f JOIN win w USING (cluster)
         """,
         "q54_repetition_signals": f"""
             WITH {_rep_cte(2)},

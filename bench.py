@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "q88_line_dedup",            # r5: CCNet boilerplate line dedup
     "q89_pack_examples",         # r5: concat-and-chunk sequence packing
     "q90_lm_fit_ppl",            # r5: corpus-fit bigram LM + scoring
+    "q91_cluster_retention",     # r5: quality-aware cluster retention
 ]
 
 

@@ -19,7 +19,7 @@ fraction). Skewed buckets (boilerplate pages) are broken by AQE.
 
 from typing import List
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.textstats import fingerprint, shingles
 
@@ -880,3 +880,42 @@ def line_dedup_corpus(df: DataFrame, text_col: str = "text",
                        .cast("long").alias("n_removed"),
                    F.coalesce(F.col("_clean"), F.lit(""))
                     .alias("clean_text")))
+
+
+def quality_retention(docs: DataFrame, clusters: DataFrame,
+                      quality: Column, id_col: str = "doc_id",
+                      quality_name: str = "quality") -> DataFrame:
+    """Quality-aware duplicate-cluster retention (the Dolma/RefinedWeb
+    policy: keep the BEST document per duplicate cluster, not simply
+    the lowest id).  ``clusters`` is a (id, cluster) assignment — e.g.
+    `operators/graph.connected_components` over the exact+near edge
+    set; docs absent from it are singletons and keep themselves.
+    ``quality`` is any per-doc Column over ``docs`` (doc length,
+    q67's classifier margin, -q63 perplexity...); ties break to the
+    LOWEST id so the decision is total and deterministic.
+
+    Output: (id, cluster, <quality_name>, kept).
+
+    Plan shape at 100 TB: one left join to attach cluster ids
+    (localCheckpointed so the corpus join feeds winner election AND
+    the final join from ONE materialization, not two subtrees), then
+    winner election as two map-side-combinable HASH aggregates — max
+    quality per cluster, min id among the quality-maxers — instead of
+    a `max_by` over a (quality, -id) struct, which Spark executes as
+    SortAggregate (struct buffers aren't hash-aggregable), or a
+    per-cluster sort window over the corpus.
+    """
+    scored = docs.select(F.col(id_col), quality.alias("_q"))
+    full = (scored.join(clusters, id_col, "left")
+                  .withColumn("cluster",
+                              F.coalesce("cluster", F.col(id_col)))
+                  .localCheckpoint(eager=False))
+    best_q = full.groupBy("cluster").agg(F.max("_q").alias("_bq"))
+    winners = (full.join(best_q, "cluster")
+                   .where(F.col("_q") == F.col("_bq"))
+                   .groupBy("cluster")
+                   .agg(F.min(id_col).alias("_keep")))
+    return (full.join(winners, "cluster")
+                .select(id_col, "cluster",
+                        F.col("_q").alias(quality_name),
+                        (F.col(id_col) == F.col("_keep")).alias("kept")))

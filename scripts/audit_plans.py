@@ -167,6 +167,10 @@ AUDIT = {
     # (doc, example) sequence-explode + hash rollup — no global window
     "q89_pack_examples": ["BroadcastHashJoin", "Window", "Generate",
                           "HashAggregate"],
+    # r5 quality-aware retention: q53's CC loop assigns clusters, the
+    # winner per cluster is ONE max_by hash aggregate — no per-cluster
+    # sort window over the corpus
+    "q91_cluster_retention": ["HashAggregate"],
     # r5 corpus-fit bigram LM: bigram explode + count hash aggs fit
     # the model; (V,k) scalars enter via a 1-row BroadcastExchange;
     # distinct score-side pairs join the count tables (hash joins)
@@ -272,6 +276,8 @@ FORBID = {
                           "SortMergeJoin"],
     "q90_lm_fit_ppl": ["CartesianProduct", "ArrowEvalPython",
                        "BatchEvalPython", "SortAggregate"],
+    "q91_cluster_retention": ["CartesianProduct", "ArrowEvalPython",
+                              "BatchEvalPython", "SortAggregate"],
 }
 
 

@@ -368,3 +368,36 @@ def test_bigram_lm_target_docs_score_lower(spark):
     out = {r["doc_id"]: r["logppl"] for r in
            lm_fit_score(docs, F.col("lang") == "en").collect()}
     assert out[100] < out[101]
+
+
+# ------------------------------------------- quality-aware retention
+
+def test_quality_retention_keeps_best_not_lowest_id(spark):
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e"), (3, "a b c"),   # cluster 1
+         (10, "x"), (11, "x")],                        # cluster 10
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster long")
+    out = {r["doc_id"]: r for r in quality_retention(
+        docs, clusters, F.size(F.split("text", " ")).cast("long"),
+        quality_name="n_words").collect()}
+    # cluster 1: doc 2 is longest (5 words) -> kept, NOT doc 1
+    assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
+    # cluster 10: tie on quality -> lowest id wins
+    assert out[10]["kept"] and not out[11]["kept"]
+
+
+def test_quality_retention_singletons_keep_themselves(spark):
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    docs = spark.createDataFrame(
+        [(5, "lone doc"), (7, "another")],
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [], "doc_id long, cluster long")
+    out = quality_retention(
+        docs, clusters, F.lit(1).cast("long")).collect()
+    assert all(r["kept"] for r in out)
+    assert {r["cluster"] for r in out} == {5, 7}
