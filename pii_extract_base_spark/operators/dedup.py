@@ -259,7 +259,8 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
                  band_size: int = 2, jaccard_threshold: float = 0.8,
                  family: str = "md5slice",
                  max_bucket: int = 500, near: str = "lsh",
-                 resolve: str = "pairwise") -> DataFrame:
+                 resolve: str = "pairwise",
+                 quality: "Column" = None) -> DataFrame:
     """End-to-end corpus dedup: EXACT duplicates (md5 fingerprint) plus
     NEAR duplicates (Jaccard >= threshold) are dropped; the surviving
     rows of ``df`` are returned.
@@ -285,6 +286,11 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
        survives. The MinHashLSH-dedup convention (C4, RefinedWeb);
        costs the O(log²n)-round star-contraction loop on the PAIR
        relation only.
+     - "best": "cc" clustering, but the survivor is the
+       HIGHEST-``quality`` doc per cluster (ties -> lowest id) via
+       `quality_retention` — the Dolma/RefinedWeb retention policy.
+       ``quality`` defaults to the doc's whitespace token count
+       (keep the longest).
 
     Plan shape at scale: one narrow anti-join per dup source — the
     exact pass shuffles (id, fp); the LSH pass shuffles signatures and
@@ -293,7 +299,7 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
     byte-identical boilerplate (the usual cause of an oversized
     bucket) is still removed by the exact pass, which never caps.
     """
-    if resolve not in ("pairwise", "cc"):
+    if resolve not in ("pairwise", "cc", "best"):
         raise ValueError(f"unknown resolve rule: {resolve!r}")
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     ids = df.select(F.col(id_col), fp.alias("_fp"))
@@ -326,12 +332,21 @@ def dedup_corpus(df: DataFrame, text_col: str = "text",
         pairs = pairs.union(near_pairs)
     if resolve == "pairwise":
         losers = pairs.select(F.col("id_b").alias(id_col))
-    else:
+    elif resolve == "cc":
         from .graph import connected_components
         cc = connected_components(pairs, node_col=id_col,
                                   cluster_col="_cluster")
         losers = (cc.where(F.col(id_col) != F.col("_cluster"))
                     .select(id_col))
+    else:  # best
+        from .graph import connected_components
+        from ..functions.textstats import token_count
+        cc = (connected_components(pairs, node_col=id_col,
+                                   cluster_col="cluster"))
+        q = (quality if quality is not None
+             else token_count(text_col).cast("long"))
+        kept = quality_retention(df, cc, q, id_col=id_col)
+        losers = kept.where(~F.col("kept")).select(id_col)
     return df.join(losers.distinct(), id_col, "left_anti")
 
 

@@ -40,6 +40,14 @@ def main() -> int:
     ap.add_argument("--dedup", action="store_true",
                     help="corpus dedup (exact md5 + banded-MinHash near "
                          "dups, keep-first by url) before the pipeline")
+    ap.add_argument("--dedup-keep", choices=("first", "best"),
+                    default="first",
+                    help="duplicate survivor policy for --dedup: "
+                         "'first' keeps the lowest url per pair "
+                         "(greedy, the q39 rule); 'best' clusters "
+                         "duplicates transitively and keeps the "
+                         "LONGEST page per cluster (quality-aware "
+                         "retention, the Dolma/RefinedWeb policy)")
     ap.add_argument("--dedup-spans", type=int, default=None,
                     metavar="WINDOW",
                     help="alignment-free duplicated-SPAN removal "
@@ -56,6 +64,13 @@ def main() -> int:
                          "all of them (nav bars, cookie banners, "
                          "footers); deterministic, composes with the "
                          "doc/span-level passes")
+    ap.add_argument("--ppl-cut", default=None, metavar="LANG=FRAC",
+                    help="CCNet-style perplexity selection after "
+                         "sample/dedup: fit an add-k bigram LM on the "
+                         "LANG slice (functions/lmtrain) and keep the "
+                         "LOWEST-perplexity FRAC of pages via the "
+                         "two-phase quantile cut — deterministic and "
+                         "resume-stable, e.g. en=0.5")
     ap.add_argument("--dsir", default=None, metavar="LANG=FRAC",
                     help="DSIR data selection after sample/dedup: "
                          "score every page's importance weight against "
@@ -97,7 +112,9 @@ def main() -> int:
         pages = stratified_sample(pages, "lang", "url", rates)
     if args.dedup:
         from pii_extract_base_spark.operators.dedup import dedup_corpus
-        pages = dedup_corpus(pages, text_col="text", id_col="url")
+        resolve = "best" if args.dedup_keep == "best" else "pairwise"
+        pages = dedup_corpus(pages, text_col="text", id_col="url",
+                             resolve=resolve)
     if args.dedup_spans:
         from pyspark.sql import functions as F
         from pii_extract_base_spark.operators.dedup import (
@@ -119,6 +136,21 @@ def main() -> int:
         pages = pages.drop("text").join(
             cleaned.select("url", F.col("clean_text").alias("text")),
             "url")
+    if args.ppl_cut:
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+        from pii_extract_base_spark.functions.sampling import (
+            quantile_cut_scalable)
+        lang, frac = args.ppl_cut.split("=", 1)
+        scored = lm_fit_score(pages, F.col("lang") == lang,
+                              text_col="text", id_col="url")
+        # keep the LOWEST perplexity -> cut on the negated score
+        pages = (pages.join(scored.select(
+                     "url", (-F.col("logppl")).alias("_neg_ppl")), "url")
+                      .withColumn("_all", F.lit("all")))
+        pages = (quantile_cut_scalable(pages, "_all", "_neg_ppl",
+                                       float(frac), "url")
+                 .drop("_all", "_neg_ppl"))
     if args.dsir:
         from pyspark.sql import functions as F
         from pii_extract_base_spark.functions.dsir import dsir_weights

@@ -401,3 +401,24 @@ def test_quality_retention_singletons_keep_themselves(spark):
         docs, clusters, F.lit(1).cast("long")).collect()
     assert all(r["kept"] for r in out)
     assert {r["cluster"] for r in out} == {5, 7}
+
+
+def test_dedup_corpus_resolve_best_keeps_longest(spark):
+    """resolve='best' keeps the LONGEST doc of each duplicate cluster
+    (resolve='cc' would keep the min id)."""
+    from pii_extract_base_spark.operators.dedup import dedup_corpus
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base),                       # exact dup of 2, shorter
+         (2, base),                       # same text -> same length; min id 1 wins ties
+         (3, base + " iota kappa"),       # near-dup of 1/2 (shared shingles)
+         (50, "completely different text with nothing shared here")],
+        "doc_id long, text string")
+    out = dedup_corpus(docs, id_col="doc_id", k=3,
+                       jaccard_threshold=0.3, resolve="best")
+    kept = {r["doc_id"] for r in out.collect()}
+    # cluster {1,2,3}: doc 3 is longest -> survives; singleton 50 stays
+    assert kept == {3, 50}
+    out_cc = dedup_corpus(docs, id_col="doc_id", k=3,
+                          jaccard_threshold=0.3, resolve="cc")
+    assert {r["doc_id"] for r in out_cc.collect()} == {1, 50}
