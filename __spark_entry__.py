@@ -1291,7 +1291,10 @@ def q72_bpe_token_stats(spark, sf_dir):
          .alias("chars_per_tok"))
 
 
-def _bpe_encode_oracle() -> str:
+def _bpe_encode_ctes(tail: str) -> str:
+    """q71's merge-derivation CTE chain extended with the encode-count
+    relation `ec(doc_id, lang, n_ws_tokens, n_bpe_tokens, n_chars)`,
+    finished by ``tail`` (a SELECT over ec)."""
     from pii_extract_base_spark.operators.bpe import bpe_oracle_sql
     words = _DUCK_WORDS
     enc = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '"
@@ -1309,18 +1312,24 @@ def _bpe_encode_oracle() -> str:
         for i in range(1, 7))
     final = f""", mm AS MATERIALIZED (SELECT {mcols}),
         ec AS (
-            SELECT doc_id, len({words})::BIGINT AS n_ws_tokens,
+            SELECT doc_id, lang,
+                   len({words})::BIGINT AS n_ws_tokens,
                    {cnt} AS n_bpe_tokens,
                    length(coalesce(text, '')) AS n_chars
             FROM documents, mm
         )
-        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
-               round(n_chars::DOUBLE / n_bpe_tokens, 6) AS chars_per_tok
-        FROM ec"""
+        {tail}"""
     # splice: final starts with ", mm AS ..." so it extends the CTE list
     base = bpe_oracle_sql(words, table="documents", rounds=6,
                           final_select="__TAIL__")
     return base.replace("\n__TAIL__", final)
+
+
+def _bpe_encode_oracle() -> str:
+    return _bpe_encode_ctes(
+        """SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               round(n_chars::DOUBLE / n_bpe_tokens, 6) AS chars_per_tok
+        FROM ec""")
 
 
 def _pq_train(base):
@@ -2143,6 +2152,37 @@ def q89_pack_examples(spark, sf_dir):
     return example_manifest(spans, seq_len=512)
 
 
+def q92_tokenizer_eval(spark, sf_dir):
+    """Per-language tokenizer evaluation report (the fit-quality
+    numbers a tokenizer team reads before freezing a vocab): fertility
+    (BPE tokens per whitespace word) and compression (chars per BPE
+    token) by lang, using the corpus-fit 6-merge BPE (q71) and the
+    production Arrow encoder (q72's path, plan size independent of
+    merge count). One mapInPandas projection + ONE hash rollup; the
+    oracle re-derives the merges via the q71 CTE chain and encodes
+    with the replace-chain twin."""
+    from pii_extract_base_spark.operators.bpe import (
+        bpe_encode_count_arrow, bpe_train)
+    from pii_extract_base_spark.functions.textstats import token_count
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=6)
+    enc = bpe_encode_count_arrow(docs.select("doc_id", "lang", "text"),
+                                 merges)
+    chars = F.length(F.coalesce(F.col("text"), F.lit("")))
+    per_doc = enc.select(
+        "lang", token_count("text").cast("long").alias("_ws"),
+        F.col("n_bpe_tokens").alias("_bpe"), chars.alias("_ch"))
+    return (per_doc.groupBy("lang")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("_ws").alias("n_ws_tokens"),
+                        F.sum("_bpe").alias("n_bpe_tokens"),
+                        F.round(F.sum("_bpe").cast("double")
+                                / F.sum("_ws"), 6).alias("fertility"),
+                        F.round(F.sum("_ch").cast("double")
+                                / F.sum("_bpe"), 6)
+                         .alias("chars_per_tok")))
+
+
 def q90_lm_fit_ppl(spark, sf_dir):
     """CCNet's TRAINING half (functions/lmtrain; Wenzek et al. 2020
     §3.2): fit an add-k word-bigram LM on the target slice (lang='en'
@@ -2304,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_quality_calibration": q87_quality_calibration,
         "q90_lm_fit_ppl": q90_lm_fit_ppl,
         "q91_cluster_retention": q91_cluster_retention,
+        "q92_tokenizer_eval": q92_tokenizer_eval,
     }
 
 
@@ -3478,6 +3519,15 @@ def oracle_sql() -> dict[str, str]:
         "q68_url_canonical": _url_canonical_oracle(),
         "q71_bpe_merges": _bpe_oracle(),
         "q72_bpe_token_stats": _bpe_encode_oracle(),
+        "q92_tokenizer_eval": _bpe_encode_ctes(
+            """SELECT lang, count(*) AS n_docs,
+                   sum(n_ws_tokens)::BIGINT AS n_ws_tokens,
+                   sum(n_bpe_tokens)::BIGINT AS n_bpe_tokens,
+                   round(sum(n_bpe_tokens)::DOUBLE
+                         / sum(n_ws_tokens), 6) AS fertility,
+                   round(sum(n_chars)::DOUBLE
+                         / sum(n_bpe_tokens), 6) AS chars_per_tok
+            FROM ec GROUP BY lang"""),
         "q73_pq_codes": _pq_oracle(),
         "q74_pq_adc_topk": _pq_adc_oracle(),
         "q80_ivfpq_topk": _ivfpq_oracle(),

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "q89_pack_examples",         # r5: concat-and-chunk sequence packing
     "q90_lm_fit_ppl",            # r5: corpus-fit bigram LM + scoring
     "q91_cluster_retention",     # r5: quality-aware cluster retention
+    "q92_tokenizer_eval",        # r5: per-lang fertility/compression
 ]
 
 

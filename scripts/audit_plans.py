@@ -191,7 +191,7 @@ AUDIT = {
     # Arrow crossing must NOT reappear (that would mean the barrier
     # was dropped and the UDF re-runs per consumer again)
     "q77_chunked_detect": ["Generate", "Window", "HashAggregate"],
-    # q71/q72 (BPE train/encode), q73/q74 (PQ codebooks/ADC) are
+    # q71/q72/q92 (BPE train/encode/eval), q73/q74 (PQ codebooks/ADC) are
     # driver-loop iteratives like q53/q66/q67: the trained state
     # (merges / codebooks / ADC tables) is inlined as plan literals,
     # so their final DFs are pure projections or rank-limits over the
