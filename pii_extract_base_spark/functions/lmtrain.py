@@ -27,11 +27,14 @@ Plan shape at 100 TB:
    pattern) — the driver never collects anything.
  - scoring pays the lookup once per DISTINCT score-side bigram (the
    q63 vocabulary-memoization shape): distinct pairs hash-join the
-   count tables on their natural keys, then occurrences re-join their
-   pair's finished logprob.  Count tables can exceed broadcast size at
-   corpus scale, so these are plain shuffled hash joins on (w1, w2) /
-   w1 — both sides key-partitioned, skew-safe (Zipf-head contexts are
-   single rows on the build side).
+   count tables on their natural keys, then DOC-PAIR rows — the
+   occurrence stream collapsed to (doc, pair, cnt) by a map-side-
+   combinable hash agg, since stopword pairs repeat heavily within a
+   doc — re-join their pair's finished logprob and fold the weighted
+   mean.  Count tables can exceed broadcast size at corpus scale, so
+   these are plain shuffled hash joins on (w1, w2) / w1 — both sides
+   key-partitioned, skew-safe (Zipf-head contexts are single rows on
+   the build side).
 
 Float caveat (same as ppl_sql): log2 / division accumulate ~1 ulp of
 engine-dependent noise per doc average; driver queries round to 5
@@ -80,9 +83,14 @@ def bigram_lm_ppl(df: DataFrame, bg: DataFrame, ctx: DataFrame,
                   scalars: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: float = ADD_K) -> DataFrame:
     """(id, n_bigrams, logppl) of every doc under the fit model."""
+    # collapse occurrences to (doc, pair, cnt) FIRST: stopword pairs
+    # repeat heavily within a doc, so the lookup join moves unique
+    # doc-pairs (map-side-combinable hash agg), not every occurrence
     occ = (df.select(F.col(id_col), F.explode(_bigrams(text_col))
                      .alias("p"))
-             .select(id_col, "p.w1", "p.w2"))
+             .select(id_col, "p.w1", "p.w2")
+             .groupBy(id_col, "w1", "w2")
+             .agg(F.count("*").alias("_cnt")))
     pairs = occ.select("w1", "w2").distinct()
     lp = (pairs.join(bg, ["w1", "w2"], "left")
                .join(ctx, "w1", "left")
@@ -94,8 +102,9 @@ def bigram_lm_ppl(df: DataFrame, bg: DataFrame, ctx: DataFrame,
                   + F.lit(k) * F.col("v"))).alias("lp")))
     per_doc = (occ.join(lp, ["w1", "w2"])
                   .groupBy(id_col)
-                  .agg(F.count("*").alias("n_bigrams"),
-                       (-F.avg("lp")).alias("_ppl")))
+                  .agg(F.sum("_cnt").alias("n_bigrams"),
+                       (-(F.sum(F.col("_cnt") * F.col("lp"))
+                          / F.sum("_cnt"))).alias("_ppl")))
     base = df.select(F.col(id_col))
     return (base.join(per_doc, id_col, "left")
                 .select(id_col,
