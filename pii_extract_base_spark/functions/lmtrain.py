@@ -35,6 +35,18 @@ Plan shape at 100 TB:
    these are plain shuffled hash joins on (w1, w2) / w1 — both sides
    key-partitioned, skew-safe (Zipf-head contexts are single rows on
    the build side).
+ - the doc-pair relation feeds two consumers (the pair vocabulary
+   and the per-doc join) through Catalyst EXCHANGE REUSE — one
+   shuffle, two readers — and is deliberately NOT localCheckpointed:
+   a fused variant that pinned it (and derived the training counts
+   from the pinned relation) measured ~30x SLOWER at 320k docs
+   (1-2 s -> 32-40 s), because materializing the corpus-widest
+   relation to checkpoint storage costs far more than recomputing
+   the explode from the columnar scan, and it forfeits the map-side
+   partial aggregation of the training counts.  Checkpoint-pinning
+   pays off only when the shared subtree is EXPENSIVE to recompute
+   (e.g. the Arrow detect UDF in operators/detect.py), not for
+   explode+agg over a scan.
 
 Float caveat (same as ppl_sql): log2 / division accumulate ~1 ulp of
 engine-dependent noise per doc average; driver queries round to 5

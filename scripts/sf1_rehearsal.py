@@ -169,6 +169,40 @@ def main():
     print(json.dumps({"job": "line_dedup", **results["line_dedup"]}),
           flush=True)
 
+    # -- 5. corpus-fit bigram LM + perplexity scoring (q90's op) -----------
+    # the CCNet selection stage at full width: fit on the en slice
+    # (~2/5 of the corpus), score all ~3M docs; the bigram explode is
+    # the widest shuffle in the engine (tokens-1 rows per doc), so
+    # this is the stage most likely to expose a partition-size hazard
+    from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+    t0 = time.time()
+    scored = lm_fit_score(big, F.col("lang") == "en")
+    row = scored.agg(F.count("*").alias("docs"),
+                     F.avg("logppl").alias("mean_ppl")).collect()[0]
+    sec = time.time() - t0
+    results["lm_fit_score"] = {"sec": round(sec, 1), "docs": row["docs"],
+                               "mean_ppl": round(row["mean_ppl"], 3),
+                               "docs_per_sec": round(n_docs / sec, 0)}
+    print(json.dumps({"job": "lm_fit_score", **results["lm_fit_score"]}),
+          flush=True)
+
+    # -- 6. concat-and-chunk sequence packing (q89's op) -------------------
+    from pii_extract_base_spark.operators.sharding import (
+        example_manifest, pack_examples)
+    t0 = time.time()
+    spans = pack_examples(big, seq_len=2048,
+                          num_partitions=args.cores * 4)
+    man = example_manifest(spans, seq_len=2048)
+    row = man.agg(F.count("*").alias("examples"),
+                  F.sum("n_tokens").alias("tokens")).collect()[0]
+    sec = time.time() - t0
+    results["pack_examples"] = {"sec": round(sec, 1),
+                                "examples": row["examples"],
+                                "tokens": row["tokens"],
+                                "docs_per_sec": round(n_docs / sec, 0)}
+    print(json.dumps({"job": "pack_examples",
+                      **results["pack_examples"]}), flush=True)
+
     results["stage_peaks"] = stage_peaks(spark)
     print(json.dumps({"job": "summary", "n_docs": n_docs,
                       **results["stage_peaks"]}), flush=True)
