@@ -77,9 +77,14 @@ def synth_multiscript_rows(n: int = 60) -> List[Tuple[int, str]]:
 
 
 def _chars(text_col):
+    # split on the empty pattern = per-character array in ONE linear
+    # pass ('' and NULL both yield []).  NOT transform(sequence) +
+    # substr(i, 1): substr seeks from the string head each call, so a
+    # per-index lambda is O(len²) character scans per document (see
+    # functions/textstats._joined_windows for the measured instance
+    # of this HOF-lambda hazard class).
     s = F.coalesce(F.col(text_col), F.lit(""))
-    return F.transform(F.sequence(F.lit(1), F.length(s)),
-                       lambda i: s.substr(i, F.lit(1)))
+    return F.split(s, "")
 
 
 def _range_count(chars, lo: str, hi: str):

@@ -35,15 +35,31 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.coalesce(F.col(text_col), F.lit("")))
 
 
+def _joined_windows(w: Column, n: Column, k: int) -> Column:
+    """All k-word windows of ``w`` as space-joined strings, built as a
+    chain of k-1 LINEAR zip_withs over shifted slices.  NOT
+    ``transform(sequence(...), i -> slice(w, i+1, k))``: an HOF lambda
+    re-evaluates the word-array expression at every index access (no
+    cross-iteration CSE), making that form O(words²) per document —
+    measured at 8,500 executor-CPU-s on one 3.2M-doc stage before the
+    same fix in functions/lmtrain.  Slices are HOF inputs, evaluated
+    once per row; ``w`` is referenced k+1 times total (a constant),
+    not once per window."""
+    m = n - (k - 1)
+    acc = F.slice(w, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(w, j, m),
+                         lambda x, y: F.concat(x, F.lit(" "), y))
+    return acc
+
+
 def shingles(text_col: str = "text", k: int = 5) -> Column:
     """Distinct k-word shingles of the text (the MinHash input set)."""
     w = words_col(text_col)
     n = F.size(w)
     return F.when(
         n >= k,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), n - k),
-                        lambda i: F.array_join(F.slice(w, i + 1, k), " ")))
+        F.array_distinct(_joined_windows(w, n, k))
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -60,8 +76,7 @@ def ngrams(text_col: str = "text", n: int = 2) -> Column:
     sz = F.size(w)
     return F.when(
         sz >= n,
-        F.transform(F.sequence(F.lit(0), sz - n),
-                    lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+        _joined_windows(w, sz, n)
     ).otherwise(F.array().cast("array<string>"))
 
 

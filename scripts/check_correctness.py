@@ -87,9 +87,32 @@ def main():
             o_cols = [d[0] for d in cur.description]
             o_rows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
-            results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:300]}
-            n_fail += 1
-            continue
+            err = str(e)
+            if "Out of Memory" in err or "bad allocation" in err:
+                # memory accumulated across 90+ oracle replays in one
+                # process (seen once on the q53 recursive closure):
+                # retry on a FRESH connection before declaring failure
+                con.close()
+                con = duckdb.connect()
+                for t in TABLES:
+                    p = f"{SF_DIR}/{t}.parquet"
+                    if Path(p).exists():
+                        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                                    f"FROM read_parquet('{p}')")
+                try:
+                    cur = con.execute(oracles[name])
+                    o_cols = [d[0] for d in cur.description]
+                    o_rows = cur.fetchall()
+                except Exception as e2:  # noqa: BLE001
+                    results[name] = {"status": "ORACLE_ERROR",
+                                     "error": str(e2)[:300]}
+                    n_fail += 1
+                    continue
+            else:
+                results[name] = {"status": "ORACLE_ERROR",
+                                 "error": err[:300]}
+                n_fail += 1
+                continue
         schema_ok = sorted(s_cols) == sorted(o_cols)
         count_ok = len(s_rows) == len(o_rows)
         hash_ok = (schema_ok and count_ok and
