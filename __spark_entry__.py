@@ -2222,6 +2222,73 @@ def q91_cluster_retention(spark, sf_dir):
                              quality_name="n_words")
 
 
+def _url_keep_latest_oracle() -> str:
+    from pii_extract_base_spark.functions.urltools import (
+        canonicalize_url_sql)
+    raw = """'https://Site' || (doc_id % 50)::VARCHAR || '.Example'
+        || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        || '/p/' || (doc_id % 25)::VARCHAR
+        || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0 THEN
+                '?id=' || (doc_id % 10)::VARCHAR
+                || '&utm_source=x' || (doc_id % 5)::VARCHAR
+            ELSE '?utm_campaign=y' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN
+                '#sec' || (doc_id % 7)::VARCHAR ELSE '' END)"""
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   (1600000000 + (doc_id * 7919) % 1000)::BIGINT
+                       AS warc_ts,
+                   {canonicalize_url_sql(raw)} AS url_canon
+            FROM documents
+        ),
+        win AS (
+            SELECT url_canon, doc_id AS keep_id FROM u
+            QUALIFY row_number() OVER (
+                PARTITION BY url_canon
+                ORDER BY warc_ts DESC, doc_id ASC) = 1
+        )
+        SELECT u.doc_id, u.url_canon, u.warc_ts,
+               (u.doc_id = w.keep_id) AS kept
+        FROM u JOIN win w USING (url_canon)
+    """
+
+
+def q93_url_keep_latest(spark, sf_dir):
+    """Keep-latest-crawl URL dedup (the CC re-crawl stage: one row per
+    canonical URL, the NEWEST capture wins): q68's noisy URLs +
+    deterministic warc_ts (coarse 1000-bucket clock so equal-ts ties
+    exercise the lowest-id tie-break), canonicalized natively, then
+    resolved by `operators/dedup.quality_retention` with cluster =
+    canonical URL and quality = capture timestamp — the same two
+    hash-aggregate election as q91, no per-URL sort window."""
+    from pii_extract_base_spark.functions.urltools import canonicalize_url
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://Site"), (d % 50).cast("string"), F.lit(".Example"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 25).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?id="), (d % 10).cast("string"),
+                        F.lit("&utm_source=x"), (d % 5).cast("string")))
+         .otherwise(F.lit("?utm_campaign=y")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit("#sec"), (d % 7).cast("string")))
+         .otherwise(F.lit("")))
+    ts = (F.lit(1_600_000_000) + (d * 7919) % 1000).cast("long")
+    base = docs.select("doc_id", ts.alias("warc_ts"),
+                       canonicalize_url(url).alias("url_canon"))
+    clusters = base.select("doc_id", F.col("url_canon").alias("cluster"))
+    out = quality_retention(base, clusters, F.col("warc_ts"),
+                            quality_name="warc_ts")
+    return out.select("doc_id", F.col("cluster").alias("url_canon"),
+                      "warc_ts", "kept")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2345,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_lm_fit_ppl": q90_lm_fit_ppl,
         "q91_cluster_retention": q91_cluster_retention,
         "q92_tokenizer_eval": q92_tokenizer_eval,
+        "q93_url_keep_latest": q93_url_keep_latest,
     }
 
 
@@ -3517,6 +3585,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_pagerank": _pagerank_oracle(),
         "q67_logreg_quality": _logreg_oracle(),
         "q68_url_canonical": _url_canonical_oracle(),
+        "q93_url_keep_latest": _url_keep_latest_oracle(),
         "q71_bpe_merges": _bpe_oracle(),
         "q72_bpe_token_stats": _bpe_encode_oracle(),
         "q92_tokenizer_eval": _bpe_encode_ctes(

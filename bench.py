@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q90_lm_fit_ppl",            # r5: corpus-fit bigram LM + scoring
     "q91_cluster_retention",     # r5: quality-aware cluster retention
     "q92_tokenizer_eval",        # r5: per-lang fertility/compression
+    "q93_url_keep_latest",       # r5: keep-latest-crawl URL dedup
 ]
 
 

@@ -921,9 +921,14 @@ def quality_retention(docs: DataFrame, clusters: DataFrame,
     per-cluster sort window over the corpus.
     """
     scored = docs.select(F.col(id_col), quality.alias("_q"))
+    # singleton fallback: cluster = the doc's own id, cast to the
+    # cluster column's type (cluster keys need not be numeric — e.g.
+    # canonical URLs in q93)
+    ctype = clusters.schema["cluster"].dataType
     full = (scored.join(clusters, id_col, "left")
                   .withColumn("cluster",
-                              F.coalesce("cluster", F.col(id_col)))
+                              F.coalesce(F.col("cluster"),
+                                         F.col(id_col).cast(ctype)))
                   .localCheckpoint(eager=False))
     best_q = full.groupBy("cluster").agg(F.max("_q").alias("_bq"))
     winners = (full.join(best_q, "cluster")

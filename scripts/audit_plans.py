@@ -171,6 +171,9 @@ AUDIT = {
     # winner per cluster is ONE max_by hash aggregate — no per-cluster
     # sort window over the corpus
     "q91_cluster_retention": ["HashAggregate"],
+    # r5 keep-latest URL dedup: native canonicalize chain + the q91
+    # two-hash-aggregate election keyed by canonical URL
+    "q93_url_keep_latest": ["HashAggregate"],
     # r5 corpus-fit bigram LM: bigram explode + count hash aggs fit
     # the model; (V,k) scalars enter via a 1-row BroadcastExchange;
     # distinct score-side pairs join the count tables (hash joins)
@@ -278,6 +281,8 @@ FORBID = {
                        "BatchEvalPython", "SortAggregate"],
     "q91_cluster_retention": ["CartesianProduct", "ArrowEvalPython",
                               "BatchEvalPython", "SortAggregate"],
+    "q93_url_keep_latest": ["CartesianProduct", "ArrowEvalPython",
+                            "BatchEvalPython", "SortAggregate"],
 }
 
 

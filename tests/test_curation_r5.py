@@ -422,3 +422,20 @@ def test_dedup_corpus_resolve_best_keeps_longest(spark):
     out_cc = dedup_corpus(docs, id_col="doc_id", k=3,
                           jaccard_threshold=0.3, resolve="cc")
     assert {r["doc_id"] for r in out_cc.collect()} == {1, 50}
+
+
+def test_quality_retention_string_clusters(spark):
+    """Cluster keys may be strings (q93 uses canonical URLs);
+    singletons fall back to their id cast to the cluster type."""
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 4)],
+        "doc_id long, ts long")
+    clusters = spark.createDataFrame(
+        [(1, "example.com/a"), (2, "example.com/a"), (3, "example.com/a")],
+        "doc_id long, cluster string")
+    out = {r["doc_id"]: r for r in quality_retention(
+        docs, clusters, F.col("ts"), quality_name="ts").collect()}
+    # latest ts wins; tie between 2 and 3 -> lowest id (2)
+    assert out[2]["kept"] and not out[3]["kept"] and not out[1]["kept"]
+    assert out[7]["kept"] and out[7]["cluster"] == "7"
