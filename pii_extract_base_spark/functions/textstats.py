@@ -103,10 +103,15 @@ def rolling_fingerprint(text_col: str = "text",
         F.transform(F.sequence(F.lit(0), n_chunks - 1),
                     lambda j: F.substring(t, j * chunk + 1, F.lit(chunk)))
     ).otherwise(F.array().cast("array<string>"))
+    # split-on-empty gives the chunk's per-char array in ONE pass;
+    # the previous transform(sequence)+substring(piece, i, 1) form
+    # seeks from the string head per index — O(chunk²) per chunk,
+    # i.e. ~chunk/2 extra character scans PER CHARACTER of the
+    # document (the HOF-lambda hazard class documented at
+    # _joined_windows; a 1 MB page paid ~2×10⁹ char ops)
     h = F.aggregate(
         pieces, F.lit(0).cast("long"),
         lambda acc, piece: F.aggregate(
-            F.transform(F.sequence(F.lit(1), F.length(piece)),
-                        lambda i: F.ascii(F.substring(piece, i, F.lit(1)))),
-            acc, lambda a, c: (a * base + c) % mod))
+            F.split(piece, ""),
+            acc, lambda a, c: (a * base + F.ascii(c)) % mod))
     return h
