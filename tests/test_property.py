@@ -136,3 +136,67 @@ def test_quantile_cut_scalable_matches_naive(spark, rows, frac):
         members.sort(key=lambda r: (-r[2], r[0]))
         want |= {r[0] for r in members[:quota]}
     assert got == want
+
+
+# ------------------------------------------------- r5: retention/packing
+
+@given(rows=st.lists(st.tuples(st.integers(0, 30),       # doc id
+                               st.integers(0, 5),        # cluster key
+                               st.integers(0, 9)),       # quality
+                     min_size=1, max_size=16))
+@settings(**SETTINGS)
+def test_quality_retention_matches_naive(spark, rows):
+    """Exactly one kept per cluster; kept = (max quality, then min
+    id); singletons (no cluster row) keep themselves."""
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    from pyspark.sql import functions as F
+    docs = {i: q for i, c, q in rows}           # last wins per id
+    clus = {i: c for i, c, q in rows if c > 0}  # c==0 -> singleton
+    ddf = spark.createDataFrame(list(docs.items()), "doc_id long, q long")
+    cdf = spark.createDataFrame(
+        list(clus.items()) + [(-1, -1)], "doc_id long, cluster long"
+    ).where("doc_id >= 0")
+    got = {r.doc_id: (r.cluster, r.kept) for r in quality_retention(
+        ddf, cdf, F.col("q")).collect()}
+    assert set(got) == set(docs)
+    # naive winner per effective cluster
+    eff = {i: clus.get(i, i) for i in docs}
+    winner = {}
+    for i in docs:
+        c = eff[i]
+        cand = winner.get(c)
+        if cand is None or (docs[i], -i) > (docs[cand], -cand):
+            winner[c] = i
+    for i in docs:
+        assert got[i][0] == eff[i]
+        assert got[i][1] == (winner[eff[i]] == i)
+    kept_per_cluster = {}
+    for i, (c, k) in got.items():
+        kept_per_cluster.setdefault(c, 0)
+        kept_per_cluster[c] += int(k)
+    assert all(v == 1 for v in kept_per_cluster.values())
+
+
+@given(lens=st.lists(st.integers(0, 25), min_size=1, max_size=14),
+       seq_len=st.integers(2, 9))
+@settings(**SETTINGS)
+def test_pack_examples_manifest_invariants(spark, lens, seq_len):
+    """Manifest partitions the token stream: every example holds
+    exactly seq_len tokens except the last, totals match, doc spans
+    agree with a serial replay."""
+    from pii_extract_base_spark.operators.sharding import (
+        example_manifest, pack_examples)
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = pack_examples(df, seq_len=seq_len, num_partitions=3)
+    man = sorted(example_manifest(spans, seq_len=seq_len).collect(),
+                 key=lambda r: r.example)
+    total = sum(lens)
+    if total == 0:
+        assert man == []
+        return
+    n_ex = -(-total // seq_len)
+    assert [r.example for r in man] == list(range(n_ex))
+    assert all(r.n_tokens == seq_len for r in man[:-1])
+    assert man[-1].n_tokens == total - seq_len * (n_ex - 1)
+    assert sum(r.n_tokens for r in man) == total
