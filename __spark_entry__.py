@@ -2289,6 +2289,24 @@ def q93_url_keep_latest(spark, sf_dir):
                       "warc_ts", "kept")
 
 
+def q94_packed_examples(spark, sf_dir):
+    """The WRITER half of q89 (operators/sharding.materialize_examples):
+    emit the actual fixed-length training examples — (example,
+    n_tokens, tokens array) — not just the manifest. Same two-phase
+    prefix sum and bounded (doc, example) explode as q89, each row
+    carrying only the doc's token SLICE overlapping the example, then
+    ONE hash aggregate assembling pieces in stream order (array_sort
+    on (tokens_before, piece) structs; per-example state is bounded
+    at seq_len tokens by construction). The oracle replays the serial
+    cumsum, the same slice arithmetic, and an ORDER BY inside list()
+    — proving the packed streams are byte-identical token-for-token,
+    not merely count-identical like q89."""
+    from pii_extract_base_spark.operators.sharding import (
+        materialize_examples)
+    docs = _t(spark, sf_dir, "documents")
+    return materialize_examples(docs, seq_len=512, num_partitions=8)
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2420,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_cluster_retention": q91_cluster_retention,
         "q92_tokenizer_eval": q92_tokenizer_eval,
         "q93_url_keep_latest": q93_url_keep_latest,
+        "q94_packed_examples": q94_packed_examples,
     }
 
 
@@ -3536,6 +3555,44 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
             FROM e GROUP BY 1
+        """,
+        "q94_packed_examples": f"""
+            -- serial replay of the packed-example WRITER: cumsum over
+            -- doc_id order, bounded (doc, example) unnest, per-row
+            -- token SLICE of the overlap of [tb, tb+n) with
+            -- [512e, 512e+512) (DuckDB list slicing is 1-based
+            -- end-inclusive, matching Spark's F.slice(start, len)),
+            -- pieces assembled in stream order via list(ORDER BY tb)
+            WITH t AS (
+                SELECT doc_id, {_DUCK_WORDS} AS w
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, w, len(w)::BIGINT AS n_tokens,
+                       (sum(len(w)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - len(w))::BIGINT AS tb
+                FROM t
+            ),
+            e AS (
+                SELECT doc_id, w, n_tokens, tb,
+                       unnest(range(tb // 512,
+                                    (tb + n_tokens - 1) // 512 + 1))
+                           AS example
+                FROM c WHERE n_tokens > 0
+            ),
+            p AS (
+                SELECT example, tb,
+                       w[(greatest(tb, example * 512) - tb + 1)::INT :
+                         (least(tb + n_tokens, (example + 1) * 512)
+                          - tb)::INT] AS piece
+                FROM e
+            )
+            SELECT example::BIGINT AS example,
+                   len(flatten(list(piece ORDER BY tb)))::BIGINT
+                       AS n_tokens,
+                   flatten(list(piece ORDER BY tb)) AS tokens
+            FROM p GROUP BY example
         """,
         "q90_lm_fit_ppl": f"""
             -- serial replay of the corpus-fit add-0.5 bigram LM:

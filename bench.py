@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "q91_cluster_retention",     # r5: quality-aware cluster retention
     "q92_tokenizer_eval",        # r5: per-lang fertility/compression
     "q93_url_keep_latest",       # r5: keep-latest-crawl URL dedup
+    "q94_packed_examples",       # r5: packed-example writer (q89's half)
 ]
 
 

@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textstats import token_count
+from ..functions.textstats import token_count, words_col
 
 
 def distributed_prefix_sum(df: DataFrame, val_col: str,
@@ -182,3 +182,54 @@ def example_manifest(spans: DataFrame, seq_len: int = 512,
                       F.sum(contrib).alias("n_tokens"),
                       F.min(id_col).alias("first_doc"),
                       F.max(id_col).alias("last_doc")))
+
+
+def materialize_examples(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", seq_len: int = 512,
+                         num_partitions: Optional[int] = None
+                         ) -> DataFrame:
+    """The WRITER half of `pack_examples`: assemble the actual
+    fixed-length training examples — (example, n_tokens,
+    tokens: array<string>) — from the span map, i.e. the step that
+    emits the packed pre-training file rather than its manifest.
+
+    Plan: span map (one two-phase prefix sum) joined 1:1 back to the
+    per-doc token arrays, each doc exploded to its n_examples
+    (doc, example) rows — the same BOUNDED explode as
+    `example_manifest` (total rows = total_tokens/seq_len + n_docs) —
+    each row carrying only the doc's token SLICE that overlaps
+    [e·L, (e+1)·L) (`F.slice`, never the whole array per example),
+    then ONE hash aggregate per example assembling pieces in stream
+    order (array_sort on (tokens_before, piece) structs —
+    tokens_before is unique per doc, so collect_list's arrival order
+    never matters). All native ops; per-example state is seq_len
+    tokens by construction, so a group can never exceed one example's
+    size — no skew hazard at any corpus scale. Every example has
+    exactly seq_len tokens except the stream tail (the no-pad
+    invariant `tests/test_operators_extra.py` pins end-to-end)."""
+    spans = pack_examples(df, text_col, id_col, seq_len,
+                          num_partitions=num_partitions)
+    toks = df.select(F.col(id_col), words_col(text_col).alias("_w"))
+    L = F.lit(seq_len).cast("long")
+    rows = (spans.where(F.col("n_examples") > 0)
+                 .join(toks, id_col)
+                 .select(id_col, "tokens_before", "n_tokens", "_w",
+                         F.explode(F.sequence(F.col("first_example"),
+                                              F.col("last_example")))
+                          .alias("example")))
+    start = F.col("tokens_before")
+    end = start + F.col("n_tokens")
+    lo = F.greatest(start, F.col("example") * L)
+    hi = F.least(end, (F.col("example") + 1) * L)
+    piece = F.slice(F.col("_w"), (lo - start + 1).cast("int"),
+                    (hi - lo).cast("int"))
+    return (rows.select("example", start.alias("_ord"),
+                        piece.alias("_piece"))
+                .groupBy("example")
+                .agg(F.flatten(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("_ord"), F.col("_piece")))),
+                        lambda s: s["_piece"])).alias("tokens"))
+                .select("example",
+                        F.size("tokens").cast("long").alias("n_tokens"),
+                        "tokens"))

@@ -167,6 +167,13 @@ AUDIT = {
     # (doc, example) sequence-explode + hash rollup — no global window
     "q89_pack_examples": ["BroadcastHashJoin", "Window", "Generate",
                           "HashAggregate"],
+    # r5 packed-example WRITER: the q89 span map joined back to the
+    # per-doc token arrays, bounded (doc, example) explode carrying
+    # only the overlap SLICE, assembly via ObjectHashAggregate
+    # (collect_list of (order, piece) structs — hash, not sort-based);
+    # each token crosses the assembly shuffle exactly once
+    "q94_packed_examples": ["Window", "Generate",
+                            "ObjectHashAggregate"],
     # r5 quality-aware retention: q53's CC loop assigns clusters, the
     # winner per cluster is ONE max_by hash aggregate — no per-cluster
     # sort window over the corpus
@@ -282,6 +289,8 @@ FORBID = {
     "q91_cluster_retention": ["CartesianProduct", "ArrowEvalPython",
                               "BatchEvalPython", "SortAggregate"],
     "q93_url_keep_latest": ["CartesianProduct", "ArrowEvalPython",
+                            "BatchEvalPython", "SortAggregate"],
+    "q94_packed_examples": ["CartesianProduct", "ArrowEvalPython",
                             "BatchEvalPython", "SortAggregate"],
 }
 

@@ -439,3 +439,31 @@ def test_quality_retention_string_clusters(spark):
     # latest ts wins; tie between 2 and 3 -> lowest id (2)
     assert out[2]["kept"] and not out[3]["kept"] and not out[1]["kept"]
     assert out[7]["kept"] and out[7]["cluster"] == "7"
+
+
+def test_materialize_examples_stream_identity(spark):
+    """q94's writer half: the packed examples, concatenated in example
+    order, are token-for-token identical to the corpus token stream in
+    doc_id order (globally unique tokens make this a strong check —
+    any mis-slice, mis-order, or drop changes the rebuilt stream), and
+    every example holds exactly seq_len tokens except the tail."""
+    import math
+    import random
+    from pii_extract_base_spark.operators.sharding import (
+        materialize_examples)
+    rng = random.Random(94)
+    rows, stream = [], []
+    for i in range(60):
+        toks = [f"d{i}w{j}" for j in range(rng.randint(0, 30))]
+        stream.extend(toks)
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (materialize_examples(docs, seq_len=16, num_partitions=5)
+           .orderBy("example").collect())
+    assert [r["example"] for r in out] == list(range(
+        math.ceil(len(stream) / 16)))
+    assert [t for r in out for t in r["tokens"]] == stream
+    sizes = [r["n_tokens"] for r in out]
+    assert all(s == 16 for s in sizes[:-1])
+    assert sizes[-1] == len(stream) - 16 * (len(sizes) - 1)
+    assert all(len(r["tokens"]) == r["n_tokens"] for r in out)
