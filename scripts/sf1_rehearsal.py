@@ -203,6 +203,27 @@ def main():
     print(json.dumps({"job": "pack_examples",
                       **results["pack_examples"]}), flush=True)
 
+    # -- 7. packed-example WRITER (q94's op) --------------------------------
+    # the materialization half: every corpus token crosses the
+    # assembly shuffle exactly once as an example slice, per-example
+    # state bounded at seq_len — the stage where a wrong plan would
+    # OOM a reducer or collapse to one task; consumed by an aggregate
+    # (count + token sum) so the full assembly executes distributed
+    from pii_extract_base_spark.operators.sharding import (
+        materialize_examples)
+    t0 = time.time()
+    packed = materialize_examples(big, seq_len=2048,
+                                  num_partitions=args.cores * 4)
+    row = packed.agg(F.count("*").alias("examples"),
+                     F.sum("n_tokens").alias("tokens")).collect()[0]
+    sec = time.time() - t0
+    results["materialize_examples"] = {
+        "sec": round(sec, 1), "examples": row["examples"],
+        "tokens": row["tokens"],
+        "docs_per_sec": round(n_docs / sec, 0)}
+    print(json.dumps({"job": "materialize_examples",
+                      **results["materialize_examples"]}), flush=True)
+
     results["stage_peaks"] = stage_peaks(spark)
     print(json.dumps({"job": "summary", "n_docs": n_docs,
                       **results["stage_peaks"]}), flush=True)
