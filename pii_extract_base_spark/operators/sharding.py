@@ -15,15 +15,17 @@ The prefix sum itself is the textbook two-phase distributed scan — NO
 single-partition global window (the usual `Window.orderBy(id)` without
 a partitionBy collapses 100 TB onto one task):
 
- 1. range-repartition by the order key (equal keys co-located,
-    partition i holds strictly smaller keys than partition i+1),
- 2. per-partition local cumulative sums,
- 3. per-partition totals (tiny: one row per partition) scanned on a
+ 1. assign each row a range BUCKET from driver-sampled boundary
+    literals (equal keys co-located, bucket i holds strictly smaller
+    keys than bucket i+1 — a pure function of the row, see
+    `distributed_prefix_sum`),
+ 2. per-bucket local cumulative sums,
+ 3. per-bucket totals (tiny: one row per bucket) scanned on a
     single partition — thousands of rows, not documents,
  4. offsets broadcast-joined back and added to the local sums.
 
 The result is invariant to where the range boundaries fall, so the
-sampling inside repartitionByRange never changes the answer.
+sampling that picks them never changes the answer.
 """
 
 from typing import List, Optional, Sequence, Union
@@ -41,30 +43,69 @@ def distributed_prefix_sum(df: DataFrame, val_col: str,
                            ) -> DataFrame:
     """Adds ``out_col`` = inclusive cumulative sum of ``val_col`` over
     the total order defined by ``order_cols`` (must be unique keys).
-    Two-phase scan: only per-partition windows plus one tiny
-    (#partitions-row) global window."""
+    Two-phase scan: only per-bucket windows plus one tiny
+    (#buckets-row) global window.
+
+    The bucket id ``_pid`` is a PURE FUNCTION of the row: range
+    boundaries over the leading order key are sampled ONCE on the
+    driver and baked into the plan as literals, so every consumer of
+    the bucketed relation (the local-cumsum window AND the totals
+    aggregate) computes identical bucket ids by construction — no
+    matter how many times the shuffle re-executes.  The earlier
+    formulation derived ``_pid`` from ``spark_partition_id()`` after a
+    ``repartitionByRange`` and pinned one materialization with a lazy
+    localCheckpoint; that is correct only while exchange reuse /
+    checkpoint pinning actually holds (RangePartitioner re-SAMPLES
+    boundaries with a fresh seed on every re-execution, so two
+    consumers seeing different shuffles disagree near partition edges
+    and silently corrupt the sums), and local checkpoints die with
+    their executor on a real cluster — turning a recoverable task
+    failure into a job failure.  Literal boundaries have neither
+    failure mode:
+    retries, AQE re-planning, executor loss, and defeated exchange
+    reuse all recompute the same ``_pid``.
+
+    Boundary-sampling cost: one count + one bounded sample-collect job
+    (≤ ~20 values per bucket) before the main scan.  Bucket lookup is
+    a ``filter`` over the literal boundary array — O(#buckets)
+    comparisons per row, which for the ≤ O(10³) buckets a 100-TB scan
+    wants is noise next to the per-bucket window sort.  Ties on the
+    leading key all land in one bucket (boundary test is ``<=``), so
+    composite ``order_cols`` stay totally ordered: later columns only
+    ever order WITHIN a bucket."""
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     order_cols = list(order_cols)
-    if num_partitions:
-        part = df.repartitionByRange(num_partitions, *order_cols)
+    spark = df.sparkSession
+    n_buckets = int(num_partitions or
+                    spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    key = order_cols[0]
+    n = df.count()
+    bounds: List = []
+    if n > 0 and n_buckets > 1:
+        frac = min(1.0, (20.0 * n_buckets) / n)
+        sampled = sorted(
+            r[0] for r in df.select(key).sample(False, frac, seed=42)
+                            .collect() if r[0] is not None)
+        if sampled:
+            step = len(sampled) / n_buckets
+            seen = set()
+            for i in range(1, n_buckets):
+                v = sampled[min(int(i * step), len(sampled) - 1)]
+                if v not in seen:
+                    seen.add(v)
+                    bounds.append(v)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b <= F.col(key)))
     else:
-        part = df.repartitionByRange(*order_cols)
-    part = part.withColumn("_pid", F.spark_partition_id())
-    # _pid MUST mean the same partition in both consumers below (the
-    # local-cumsum window and the totals aggregate).  Normally Spark's
-    # exchange reuse guarantees that by executing the range shuffle
-    # once — but if reuse is defeated (spark.sql.exchange.reuse=false,
-    # or a plan rewrite breaking canonical matching), each consumer
-    # re-runs the shuffle and RangePartitioner re-SAMPLES boundaries
-    # with a fresh RDD-id seed, so the two sides can disagree near
-    # partition edges and corrupt the sums.  localCheckpoint pins one
-    # materialization both consumers read (lazy: it materializes
-    # inside the first job, not as an extra one).  On a multi-executor
-    # cluster, executor loss invalidates local checkpoints — use a
-    # bucketed/sorted input table (sources/bucketed.py) to get stable
-    # partitioning without the checkpoint instead.
-    part = part.localCheckpoint(eager=False)
+        pid = F.lit(0)
+    # persist (NOT localCheckpoint): purely a performance cache so the
+    # two consumers below evaluate the input once — a lost block
+    # recomputes through lineage to the IDENTICAL _pid (pure function
+    # of the row), so unlike the old checkpoint this is never
+    # correctness-load-bearing and survives executor loss.
+    part = df.withColumn("_pid", pid).persist()
 
     local_w = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
