@@ -467,3 +467,12 @@ def test_materialize_examples_stream_identity(spark):
     assert all(s == 16 for s in sizes[:-1])
     assert sizes[-1] == len(stream) - 16 * (len(sizes) - 1)
     assert all(len(r["tokens"]) == r["n_tokens"] for r in out)
+    # bucket-count invariance: the r5 prefix-sum rewrite makes the
+    # bucket id a pure function of the row, so the packed stream must
+    # be identical no matter how many range buckets the scan uses —
+    # including 1 (single bucket) and more buckets than partitions
+    for nparts in (1, 3, 64):
+        again = (materialize_examples(docs, seq_len=16,
+                                      num_partitions=nparts)
+                 .orderBy("example").collect())
+        assert [t for r in again for t in r["tokens"]] == stream, nparts
