@@ -103,19 +103,41 @@ def main() -> int:
     if args.limit is not None:
         pages = pages.limit(args.limit)
 
-    # curation stages (both deterministic -> identical on resume/retry)
+    # curation stages (each deterministic -> identical on resume/retry).
+    # Every stage references `pages` SEVERAL times internally (self-
+    # joins, fit-then-score, rewrite-joins), so chaining stages grows
+    # the LOGICAL plan multiplicatively — with all stages enabled the
+    # analyzer itself (DeduplicateRelations) OOMs the driver before a
+    # single task runs, the classic long-pipeline failure at corpus
+    # scale. Truncate lineage BETWEEN stages (localCheckpoint swaps
+    # the plan for a LogicalRDD; lazy, so it materializes inside the
+    # next stage's first job): stage outputs are deterministic, so the
+    # cut never changes results, and single-stage runs keep their
+    # original (benched) plans because the first stage never cuts.
+    # On a multi-executor cluster use a reliable checkpoint dir
+    # (sinks/checkpoint.py) instead of local checkpoints.
+    _staged = [False]
+
+    def _stage(df):
+        cut = df.localCheckpoint(eager=False) if _staged[0] else df
+        _staged[0] = True
+        return cut
+
     if args.sample:
+        pages = _stage(pages)
         from pii_extract_base_spark.functions.sampling import (
             stratified_sample)
         rates = {k: float(v) for k, v in
                  (kv.split("=", 1) for kv in args.sample.split(","))}
         pages = stratified_sample(pages, "lang", "url", rates)
     if args.dedup:
+        pages = _stage(pages)
         from pii_extract_base_spark.operators.dedup import dedup_corpus
         resolve = "best" if args.dedup_keep == "best" else "pairwise"
         pages = dedup_corpus(pages, text_col="text", id_col="url",
                              resolve=resolve)
     if args.dedup_spans:
+        pages = _stage(pages)
         from pyspark.sql import functions as F
         from pii_extract_base_spark.operators.dedup import (
             sliding_span_dedup)
@@ -127,6 +149,7 @@ def main() -> int:
             spans.select("url", F.col("clean_text").alias("text")),
             "url")
     if args.dedup_lines:
+        pages = _stage(pages)
         from pyspark.sql import functions as F
         from pii_extract_base_spark.operators.dedup import (
             line_dedup_corpus)
@@ -137,6 +160,7 @@ def main() -> int:
             cleaned.select("url", F.col("clean_text").alias("text")),
             "url")
     if args.ppl_cut:
+        pages = _stage(pages)
         from pyspark.sql import functions as F
         from pii_extract_base_spark.functions.lmtrain import lm_fit_score
         from pii_extract_base_spark.functions.sampling import (
@@ -152,6 +176,7 @@ def main() -> int:
                                        float(frac), "url")
                  .drop("_all", "_neg_ppl"))
     if args.dsir:
+        pages = _stage(pages)
         from pyspark.sql import functions as F
         from pii_extract_base_spark.functions.dsir import dsir_weights
         from pii_extract_base_spark.functions.sampling import (
@@ -165,6 +190,7 @@ def main() -> int:
                                        float(frac), "url")
                  .drop("_all", "dsir_logratio"))
     if args.mix:
+        pages = _stage(pages)
         from pii_extract_base_spark.functions.sampling import (
             mixture_sample)
         shares = {k: float(v) for k, v in
