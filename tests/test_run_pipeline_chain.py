@@ -1,0 +1,56 @@
+"""Regression: the FULLY-CHAINED curation pipeline must analyze and
+run. Every curation stage references its input relation several times
+internally (self-joins, fit-then-score, rewrite-joins), so chaining
+all of them once grew the logical plan multiplicatively and OOMed the
+driver inside Catalyst's DeduplicateRelations rule before a single
+task ran (found driving `--sample --dedup --dedup-spans --dedup-lines
+--ppl-cut --dsir --mix` end-to-end; see BENCH.md). run_pipeline now
+cuts lineage between stages with a lazy localCheckpoint — this test
+pins that the 7-stage chain completes in-process and produces the
+deterministic counts (stage outputs are all md5-bucketed /
+keep-first-by-url, so a re-run is identical by construction)."""
+
+import io
+import json
+import os
+import sys
+
+SCRIPTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+ALL_STAGES = [
+    "run_pipeline",
+    "--sf-dir", SF_DIR,
+    "--sample", "en=0.8,fr=0.8,es=0.8,de=0.8",
+    "--dedup",
+    "--dedup-spans", "12",
+    "--dedup-lines", "3",
+    "--ppl-cut", "en=0.9",
+    "--dsir", "en=0.9",
+    "--mix", "en=0.4,fr=0.2,es=0.2,de=0.2",
+    "--mix-budget", "300",
+]
+
+
+def _drive(monkeypatch, argv):
+    sys.path.insert(0, SCRIPTS)
+    try:
+        import run_pipeline
+    finally:
+        sys.path.remove(SCRIPTS)
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.setattr(sys, "stdout", out)
+    assert run_pipeline.main() == 0
+    line = out.getvalue().strip().splitlines()[-1]
+    return json.loads(line)
+
+def test_all_stage_chain_analyzes_and_runs(spark, monkeypatch):
+    summary = _drive(monkeypatch, ALL_STAGES)
+    # every stage strictly filters, the mix stage caps the budget
+    assert 0 < summary["docs"] <= 300
+    assert 0 <= summary["kept"] <= summary["docs"]
+    assert set(summary) >= {"docs", "kept", "entities"}
