@@ -224,6 +224,55 @@ def main():
     print(json.dumps({"job": "materialize_examples",
                       **results["materialize_examples"]}), flush=True)
 
+    # -- 8. the CHAINED curation pipeline (run_pipeline's stage chain) ------
+    # composition is the hazard the single-op jobs cannot see: every
+    # stage references its input relation several times internally, so
+    # the chained LOGICAL plan grows multiplicatively with stage count
+    # and Catalyst's DeduplicateRelations OOMed the driver before any
+    # task ran (BENCH.md). run_pipeline cuts lineage between stages
+    # with a lazy localCheckpoint; this job drives the same cut chain
+    # at 3.2M docs: sample → doc dedup → line dedup → ppl cut → mix.
+    from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_cut_scalable, stratified_sample)
+    t0 = time.time()
+    cur = big.select(
+        "doc_id", "lang", "source",
+        F.concat_ws("\n", F.lit("accept all cookies to continue"),
+                    F.col("text"),
+                    F.lit("copyright example corp")).alias("text"))
+    cur = stratified_sample(cur, "lang", "doc_id", {"en": 0.8},
+                            default_rate=0.8)
+    cur = cur.localCheckpoint(eager=False)
+    cur = dedup_corpus(cur, id_col="doc_id", text_col="text",
+                       max_bucket=50)
+    cur = cur.localCheckpoint(eager=False)
+    cleaned = line_dedup_corpus(cur, text_col="text", id_col="doc_id",
+                                min_docs=2)
+    cur = cur.drop("text").join(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id")
+    cur = cur.localCheckpoint(eager=False)
+    scored = lm_fit_score(cur, F.col("lang") == "en",
+                          text_col="text", id_col="doc_id")
+    cur = (cur.join(scored.select(
+               "doc_id", (-F.col("logppl")).alias("_neg_ppl")),
+               "doc_id")
+              .withColumn("_all", F.lit("all")))
+    cur = (quantile_cut_scalable(cur, "_all", "_neg_ppl", 0.9,
+                                 "doc_id")
+           .drop("_all", "_neg_ppl"))
+    cur = cur.localCheckpoint(eager=False)
+    cur = mixture_sample(cur, "source", "doc_id", shares,
+                         budget=500_000)
+    n_chain = cur.count()
+    sec = time.time() - t0
+    results["curation_chain"] = {
+        "sec": round(sec, 1), "in": n_docs, "picked": n_chain,
+        "docs_per_sec": round(n_docs / sec, 0)}
+    print(json.dumps({"job": "curation_chain",
+                      **results["curation_chain"]}), flush=True)
+
     results["stage_peaks"] = stage_peaks(spark)
     print(json.dumps({"job": "summary", "n_docs": n_docs,
                       **results["stage_peaks"]}), flush=True)
