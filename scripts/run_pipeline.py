@@ -86,6 +86,14 @@ def main() -> int:
                          "resume-stable), e.g. en=0.6,fr=0.4")
     ap.add_argument("--mix-budget", type=int, default=None,
                     help="total rows for --mix (required with --mix)")
+    ap.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
+                    help="after the pipeline, concat-and-chunk the KEPT "
+                         "pages' scrubbed text into fixed SEQ_LEN-token "
+                         "training examples (url stream order, no "
+                         "padding; operators/sharding "
+                         "materialize_examples) — the final packed "
+                         "pre-training layout; with --output also "
+                         "writes <output>/examples")
     ap.add_argument("--from-html", action="store_true",
                     help="backfill NULL text from the html binary column "
                          "(native HTML->text chain, no UDF)")
@@ -201,6 +209,27 @@ def main() -> int:
     pipe = QualityPipeline(tuple(args.languages.split(",")),
                            from_html=args.from_html)
 
+    def _pack_stats(scored, writer_dir=None):
+        """Pack the kept pages' scrubbed text into SEQ_LEN-token
+        examples; returns {"examples": n, "example_tokens": n}.
+
+        The packer references its input twice (span map + token
+        arrays), so cut lineage first — otherwise the detect UDF (the
+        most expensive stage) would run once per packing branch."""
+        from pii_extract_base_spark.operators.sharding import (
+            materialize_examples)
+        kept = (scored.where("keep").select("url", "scrubbed_text")
+                      .localCheckpoint(eager=False))
+        ex = materialize_examples(kept, text_col="scrubbed_text",
+                                  id_col="url", seq_len=args.pack)
+        if writer_dir:
+            ex.write.mode("overwrite").parquet(f"{writer_dir}/examples")
+            ex = spark.read.parquet(f"{writer_dir}/examples")
+        agg = ex.selectExpr(
+            "count(*) as n",
+            "coalesce(sum(n_tokens), 0L) as t").collect()[0]
+        return {"examples": agg.n, "example_tokens": agg.t}
+
     if args.checkpoint:
         from pii_extract_base_spark.sinks.checkpoint import CheckpointedSink
         from pii_extract_base_spark.registry.factory import (
@@ -213,12 +242,14 @@ def main() -> int:
             input_fingerprint=registry_fingerprint(langs),
             wave_size=args.wave_size)
         table = sink.read(spark)
+        extra = _pack_stats(table) if args.pack else {}
         dt = time.time() - t0
         print(json.dumps({
             "docs": table.count(),
             "kept": table.where("keep").count(),
             "partitions_committed_this_run": committed,
             "partitions_total": len(sink.committed_partitions()),
+            **extra,
             "sec": round(dt, 2),
         }))
         return 0
@@ -236,16 +267,21 @@ def main() -> int:
         n_total = written.count()
         n_kept = written.where("keep").count()
         n_ents = spark.read.parquet(f"{args.output}/entities").count()
+        scored_src = written  # pack from the committed parquet
     else:
         agg = out.selectExpr(
             "count(*) as n_total",
             "sum(cast(keep as int)) as n_kept",
             "sum(n_entities) as n_ents").collect()[0]
         n_total, n_kept, n_ents = agg.n_total, agg.n_kept, agg.n_ents
+        scored_src = out
 
+    extra = (_pack_stats(scored_src, writer_dir=args.output)
+             if args.pack else {})
     dt = time.time() - t0
     print(json.dumps({
         "docs": n_total, "kept": n_kept, "entities": n_ents,
+        **extra,
         "sec": round(dt, 2),
         "docs_per_sec": round(n_total / dt, 1),
     }))

@@ -48,6 +48,19 @@ def _drive(monkeypatch, argv):
     line = out.getvalue().strip().splitlines()[-1]
     return json.loads(line)
 
+def test_pack_stage_emits_fixed_length_examples(spark, monkeypatch):
+    """--pack SEQ_LEN: kept pages' scrubbed text → concat-and-chunk
+    examples in one submit. The no-pad invariant reaches the CLI: every
+    example is exactly SEQ_LEN tokens except the stream tail, so the
+    token total pins the example count exactly."""
+    summary = _drive(monkeypatch, [
+        "run_pipeline", "--sf-dir", SF_DIR, "--limit", "120",
+        "--pack", "64"])
+    n, t = summary["examples"], summary["example_tokens"]
+    assert n >= 1
+    assert (n - 1) * 64 < t <= n * 64
+
+
 def test_all_stage_chain_analyzes_and_runs(spark, monkeypatch):
     summary = _drive(monkeypatch, ALL_STAGES)
     # every stage strictly filters, the mix stage caps the budget
