@@ -1332,6 +1332,59 @@ def _bpe_encode_oracle() -> str:
         FROM ec""")
 
 
+def _bpe_packed_oracle(seq_len: int = 512) -> str:
+    """q95 replay: q71's merge-derivation chain, per-word replace-chain
+    encode yielding token ARRAYS (not counts), then q94's serial
+    cumsum + slice + list(ORDER BY) packing arithmetic over the BPE
+    token stream."""
+    from pii_extract_base_spark.operators.bpe import bpe_oracle_sql
+    words = _DUCK_WORDS
+    enc = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '"
+    for i in range(1, 7):
+        enc = (f"replace({enc}, ' ' || p{i} || ' ', "
+               f"' ' || replace(p{i}, ' ', '') || ' ')")
+    toks = (f"coalesce(flatten(list_transform({words}, "
+            f"w -> string_split(trim({enc}), ' '))), [])")
+    mcols = ", ".join(
+        f"coalesce((SELECT pair FROM m{i}), chr(0)) AS p{i}"
+        for i in range(1, 7))
+    L = seq_len
+    final = f""", mm AS MATERIALIZED (SELECT {mcols}),
+        t AS (
+            SELECT doc_id, {toks} AS w
+            FROM documents, mm
+        ),
+        c AS (
+            SELECT doc_id, w, len(w)::BIGINT AS n_tokens,
+                   (sum(len(w)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - len(w))::BIGINT AS tb
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, w, n_tokens, tb,
+                   unnest(range(tb // {L},
+                                (tb + n_tokens - 1) // {L} + 1))
+                       AS example
+            FROM c WHERE n_tokens > 0
+        ),
+        p AS (
+            SELECT example, tb,
+                   w[(greatest(tb, example * {L}) - tb + 1)::INT :
+                     (least(tb + n_tokens, (example + 1) * {L})
+                      - tb)::INT] AS piece
+            FROM e
+        )
+        SELECT example::BIGINT AS example,
+               len(flatten(list(piece ORDER BY tb)))::BIGINT
+                   AS n_tokens,
+               flatten(list(piece ORDER BY tb)) AS tokens
+        FROM p GROUP BY example"""
+    base = bpe_oracle_sql(words, table="documents", rounds=6,
+                          final_select="__TAIL__")
+    return base.replace("\n__TAIL__", final)
+
+
 def _pq_train(base):
     """Train the 4 PQ subspace codebooks in ONE shared Lloyd loop:
     posexplode the 4 16-dim slices (single scan → (sub, vec_id, v16)
@@ -2307,6 +2360,36 @@ def q94_packed_examples(spark, sf_dir):
     return materialize_examples(docs, seq_len=512, num_partitions=8)
 
 
+def q95_bpe_packed_examples(spark, sf_dir):
+    """Tokenizer-true packed examples — the composition the tokenizer
+    and layout families build toward: fit 6 BPE merges on the corpus
+    (q71's trainer), encode every doc to its actual BPE token ARRAY
+    (operators/bpe.bpe_encode_arrow — the writer-side companion of
+    q72's counting path, same replace-chain semantics per word), and
+    concat-and-chunk those token streams into fixed 512-token
+    examples (q94's writer with tokens_col=). This is what a real
+    pre-training data build packs — tokenizer tokens, not whitespace
+    words. The DuckDB oracle re-derives the merges via the q71 CTE
+    chain, encodes per word with the identical replace chain, and
+    replays q94's serial cumsum + slice arithmetic — packed streams
+    token-for-token identical across engines."""
+    from pii_extract_base_spark.operators.bpe import (
+        bpe_encode_arrow, bpe_train)
+    from pii_extract_base_spark.operators.sharding import (
+        materialize_examples)
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=6)
+    # the writer references its input twice (span map + token side):
+    # cut lineage so the Arrow encode runs ONCE, not once per subtree
+    # (the q77 lesson — never re-run the expensive Python crossing
+    # under each consumer)
+    enc = (bpe_encode_arrow(docs.select("doc_id", "text"), merges)
+           .select("doc_id", "bpe_tokens").localCheckpoint(eager=False))
+    return materialize_examples(enc, id_col="doc_id", seq_len=512,
+                                num_partitions=8,
+                                tokens_col="bpe_tokens")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2439,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_tokenizer_eval": q92_tokenizer_eval,
         "q93_url_keep_latest": q93_url_keep_latest,
         "q94_packed_examples": q94_packed_examples,
+        "q95_bpe_packed_examples": q95_bpe_packed_examples,
     }
 
 
@@ -3652,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_url_keep_latest": _url_keep_latest_oracle(),
         "q71_bpe_merges": _bpe_oracle(),
         "q72_bpe_token_stats": _bpe_encode_oracle(),
+        "q95_bpe_packed_examples": _bpe_packed_oracle(),
         "q92_tokenizer_eval": _bpe_encode_ctes(
             """SELECT lang, count(*) AS n_docs,
                    sum(n_ws_tokens)::BIGINT AS n_ws_tokens,

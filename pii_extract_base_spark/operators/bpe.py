@@ -227,6 +227,54 @@ def bpe_encode_count_arrow(df: DataFrame, merges,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def bpe_encode_arrow(df: DataFrame, merges, text_col: str = "text",
+                     out_col: str = "bpe_tokens") -> DataFrame:
+    """Encode each row's text to its actual BPE token ARRAY (the
+    writer-side companion of `bpe_encode_count_arrow`, which only
+    counts): tokens of all whitespace words concatenated in word
+    order, each word encoded with the replace-chain semantics of
+    `encode_word`. Same Arrow-batched mapInPandas shape, same bounded
+    per-task word → tokens cache (tuples, so cached values are
+    immutable), plan size independent of merge count. NULL text
+    encodes to an empty array. Feeds sequence packing
+    (operators/sharding materialize_examples tokens_col=...) so the
+    packed pre-training examples carry tokenizer tokens, not
+    whitespace words."""
+    import pandas as pd
+
+    pairs = _merge_pairs(merges)
+    cache_cap = 1_000_000
+    fields = [f for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + [f"`{out_col}` array<string>"])
+
+    def run(batches):
+        cache: dict = {}
+
+        def encode_text(text):
+            if text is None:
+                return []
+            out: list = []
+            for w in text.split():
+                t = cache.get(w)
+                if t is None:
+                    t = tuple(encode_word(w, pairs))
+                    if len(cache) >= cache_cap:
+                        cache.clear()
+                    cache[w] = t
+                out.extend(t)
+            return out
+
+        for pdf in batches:
+            pdf[out_col] = pd.Series(
+                (encode_text(t) for t in pdf[text_col]),
+                index=pdf.index, dtype="object")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def bpe_train_batched(df: DataFrame, text_col: str = "text",
                       num_merges: int = 1000, batch: int = 64,
                       min_count: int = 2) -> List[Tuple[int, str, int]]:

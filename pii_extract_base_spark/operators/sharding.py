@@ -158,7 +158,8 @@ def shard_manifest(assign: DataFrame, id_col: str = "doc_id"
 
 def pack_examples(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", seq_len: int = 512,
-                  num_partitions: Optional[int] = None) -> DataFrame:
+                  num_partitions: Optional[int] = None,
+                  tokens_col: Optional[str] = None) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing, as a per-doc
     example-span map: the token streams of all docs (in ``id_col``
     order) are conceptually concatenated and cut every ``seq_len``
@@ -180,9 +181,21 @@ def pack_examples(df: DataFrame, text_col: str = "text",
     into examples locally; `example_manifest` derives the example-level
     rollup with a BOUNDED explode (total (doc, example) pairs
     = total_tokens/L + n_docs, each doc contributing n_examples rows).
+
+    ``tokens_col`` switches the token stream from whitespace words of
+    ``text_col`` to a precomputed array<string> column (e.g. BPE
+    tokens from `operators/bpe.bpe_encode_arrow`) — NULL arrays count
+    as empty.
     """
-    toks = df.select(F.col(id_col),
-                     token_count(text_col).cast("long").alias("n_tokens"))
+    if tokens_col is not None:
+        n_toks = F.size(F.coalesce(F.col(tokens_col),
+                                   F.array().cast("array<string>")))
+        toks = df.select(F.col(id_col),
+                         n_toks.cast("long").alias("n_tokens"))
+    else:
+        toks = df.select(F.col(id_col),
+                         token_count(text_col).cast("long")
+                          .alias("n_tokens"))
     cum = distributed_prefix_sum(toks, "n_tokens", id_col,
                                  out_col="_cum",
                                  num_partitions=num_partitions)
@@ -227,7 +240,8 @@ def example_manifest(spans: DataFrame, seq_len: int = 512,
 
 def materialize_examples(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", seq_len: int = 512,
-                         num_partitions: Optional[int] = None
+                         num_partitions: Optional[int] = None,
+                         tokens_col: Optional[str] = None
                          ) -> DataFrame:
     """The WRITER half of `pack_examples`: assemble the actual
     fixed-length training examples — (example, n_tokens,
@@ -247,10 +261,18 @@ def materialize_examples(df: DataFrame, text_col: str = "text",
     tokens by construction, so a group can never exceed one example's
     size — no skew hazard at any corpus scale. Every example has
     exactly seq_len tokens except the stream tail (the no-pad
-    invariant `tests/test_operators_extra.py` pins end-to-end)."""
+    invariant `tests/test_operators_extra.py` pins end-to-end).
+
+    ``tokens_col``: pack a precomputed array<string> token column
+    (tokenizer tokens, e.g. `bpe_encode_arrow` output) instead of
+    whitespace words — see `pack_examples`."""
     spans = pack_examples(df, text_col, id_col, seq_len,
-                          num_partitions=num_partitions)
-    toks = df.select(F.col(id_col), words_col(text_col).alias("_w"))
+                          num_partitions=num_partitions,
+                          tokens_col=tokens_col)
+    stream = (F.coalesce(F.col(tokens_col),
+                         F.array().cast("array<string>"))
+              if tokens_col is not None else words_col(text_col))
+    toks = df.select(F.col(id_col), stream.alias("_w"))
     L = F.lit(seq_len).cast("long")
     rows = (spans.where(F.col("n_examples") > 0)
                  .join(toks, id_col)

@@ -174,6 +174,15 @@ AUDIT = {
     # each token crosses the assembly shuffle exactly once
     "q94_packed_examples": ["Window", "Generate",
                             "ObjectHashAggregate"],
+    # r5 BPE-token packed examples: the q94 writer fed by the Arrow
+    # BPE encoder. The encoder output is localCheckpoint-materialized
+    # (the writer references it twice — span map + token side — so
+    # without the barrier the Python crossing would run per subtree,
+    # the q77 hazard), hence the static plan shows the checkpoint
+    # scan; everything downstream (prefix sum, bounded explode,
+    # assembly ObjectHashAggregate) stays native
+    "q95_bpe_packed_examples": ["Window", "Generate",
+                                "ObjectHashAggregate"],
     # r5 quality-aware retention: q53's CC loop assigns clusters, the
     # winner per cluster is ONE max_by hash aggregate — no per-cluster
     # sort window over the corpus
@@ -292,6 +301,8 @@ FORBID = {
                             "BatchEvalPython", "SortAggregate"],
     "q94_packed_examples": ["CartesianProduct", "ArrowEvalPython",
                             "BatchEvalPython", "SortAggregate"],
+    "q95_bpe_packed_examples": ["CartesianProduct", "BatchEvalPython",
+                                "SortAggregate"],
 }
 
 

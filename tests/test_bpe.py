@@ -177,6 +177,35 @@ def test_arrow_encoder_matches_plan_literal(spark):
     assert arrow == lit
 
 
+def test_arrow_array_encoder_matches_count_path(spark):
+    """bpe_encode_arrow (token ARRAYS) is consistent with the counting
+    path on every doc — size(tokens) == n_bpe_tokens — and the arrays
+    are exactly the per-word encode_word streams concatenated in word
+    order (NULL/empty text → empty array)."""
+    from pii_extract_base_spark.operators.bpe import (
+        bpe_encode_arrow, bpe_encode_count_arrow, encode_word,
+        _merge_pairs)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            TEXTS + ["", None, "aaaa banana ababab",
+                     "aaa aaaa aaaaa aaaaaa"])],
+        "doc_id long, text string")
+    merges = bpe_train(df, "text", rounds=6)
+    pairs = _merge_pairs(merges)
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_encode_count_arrow(df, merges).collect()}
+    arrays = {r["doc_id"]: r["bpe_tokens"]
+              for r in bpe_encode_arrow(df, merges).collect()}
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert set(arrays) == set(counts)
+    for i, toks in arrays.items():
+        assert len(toks) == counts[i]
+        want = []
+        for w in (texts[i] or "").split():
+            want.extend(encode_word(w, pairs))
+        assert toks == want
+
+
 def test_encode_word_sequential_semantics():
     """Merges apply in rank order, one left-to-right pass each — a
     later merge creating an earlier pair must NOT re-trigger it (the

@@ -476,3 +476,35 @@ def test_materialize_examples_stream_identity(spark):
                                       num_partitions=nparts)
                  .orderBy("example").collect())
         assert [t for r in again for t in r["tokens"]] == stream, nparts
+
+
+def test_materialize_examples_tokens_col_stream_identity(spark):
+    """tokens_col= packs a precomputed array<string> column (the BPE
+    writer path, q95): stream identity and the no-pad invariant hold
+    over the provided arrays — including NULL arrays, which count as
+    empty — and the whitespace text column is ignored entirely."""
+    import math
+    import random
+    from pii_extract_base_spark.operators.sharding import (
+        materialize_examples)
+    rng = random.Random(95)
+    rows, stream = [], []
+    for i in range(40):
+        toks = [f"d{i}t{j}" for j in range(rng.randint(0, 25))]
+        if i % 7 == 3:
+            toks = None  # NULL token array → contributes nothing
+        else:
+            stream.extend(toks)
+        rows.append((i, "IGNORED decoy text", toks))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, bpe_tokens array<string>")
+    out = (materialize_examples(docs, seq_len=16, num_partitions=5,
+                                tokens_col="bpe_tokens")
+           .orderBy("example").collect())
+    assert [r["example"] for r in out] == list(range(
+        math.ceil(len(stream) / 16)))
+    assert [t for r in out for t in r["tokens"]] == stream
+    sizes = [r["n_tokens"] for r in out]
+    assert all(s == 16 for s in sizes[:-1])
+    assert sizes[-1] == len(stream) - 16 * (len(sizes) - 1)
+    assert not any("IGNORED" in t for r in out for t in r["tokens"])
