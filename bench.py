@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q86_contamination_frac",    # r5: graded eval-overlap report
     "q88_line_dedup",            # r5: CCNet boilerplate line dedup
     "q89_pack_examples",         # r5: concat-and-chunk sequence packing
+    "q95_bpe_packed_examples",   # r5: tokenizer-true packed examples
     "q90_lm_fit_ppl",            # r5: corpus-fit bigram LM + scoring
     "q91_cluster_retention",     # r5: quality-aware cluster retention
     "q92_tokenizer_eval",        # r5: per-lang fertility/compression
