@@ -1561,19 +1561,10 @@ def _pq_adc_oracle() -> str:
             + "\nORDER BY adc_dist, vec_id LIMIT 10")
 
 
-def q80_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ composed search — the production billion-vector ANN
-    layout (Jegou et al. TPAMI 2011 SIV: IVFADC): the q18 IVF coarse
-    quantizer routes the query to its nprobe=3 inverted lists, and
-    ONLY the vectors in those lists are scored, via q74's PQ
-    asymmetric-distance lookup over their 4 PQ codes — per candidate
-    the scan touches 4 small ints + 4 LUT lookups, never the 64 raw
-    floats, and the probe prunes ~(1 - nprobe/n_lists) of the corpus
-    before any distance math. Composes the two separately-verified
-    plans end to end; this variant PQ-encodes RAW vectors (not
-    coarse-residuals) so both halves replay the already-hash-green
-    q18 + q74 DuckDB chains verbatim. top-10 for query vec_id=0 by
-    (adc_dist, vec_id)."""
+def _ivfpq_scan(spark, sf_dir, limit):
+    """q80's composed IVF-route + ADC-score scan, top-``limit`` by
+    (adc_dist, vec_id); returns (DataFrame, query_vector) so the q96
+    re-rank stage can reuse the same candidate generator."""
     from pii_extract_base_spark.operators.cluster import nearest_centroid
     from pii_extract_base_spark.operators.lr import _qround
     from pii_extract_base_spark.operators.similarity import _dot, _norm
@@ -1627,16 +1618,59 @@ def q80_ivfpq_topk(spark, sf_dir):
               .where(F.col("_rn") <= 3)
               .select("cent_id"))
 
-    # -- composed scan: probed lists only, ADC scoring, exact top-10
-    return (assigned.join(F.broadcast(probes), "cent_id")
-                    .where(F.col("vec_id") != 0)
-                    .select("vec_id", adc.alias("adc_dist"),
-                            "c0", "c1", "c2", "c3", "cent_id")
-                    .where(F.col("adc_dist").isNotNull())
-                    .orderBy("adc_dist", "vec_id").limit(10))
+    # -- composed scan: probed lists only, ADC scoring, top-limit
+    df = (assigned.join(F.broadcast(probes), "cent_id")
+                  .where(F.col("vec_id") != 0)
+                  .select("vec_id", adc.alias("adc_dist"),
+                          "c0", "c1", "c2", "c3", "cent_id")
+                  .where(F.col("adc_dist").isNotNull())
+                  .orderBy("adc_dist", "vec_id").limit(limit))
+    return df, qrow
 
 
-def _ivfpq_oracle() -> str:
+def q80_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed search — the production billion-vector ANN
+    layout (Jegou et al. TPAMI 2011 SIV: IVFADC): the q18 IVF coarse
+    quantizer routes the query to its nprobe=3 inverted lists, and
+    ONLY the vectors in those lists are scored, via q74's PQ
+    asymmetric-distance lookup over their 4 PQ codes — per candidate
+    the scan touches 4 small ints + 4 LUT lookups, never the 64 raw
+    floats, and the probe prunes ~(1 - nprobe/n_lists) of the corpus
+    before any distance math. Composes the two separately-verified
+    plans end to end; this variant PQ-encodes RAW vectors (not
+    coarse-residuals) so both halves replay the already-hash-green
+    q18 + q74 DuckDB chains verbatim. top-10 for query vec_id=0 by
+    (adc_dist, vec_id)."""
+    df, _ = _ivfpq_scan(spark, sf_dir, 10)
+    return df
+
+
+def q96_ivfpq_rerank(spark, sf_dir):
+    """IVF-PQ with exact RE-RANK — the third stage of the production
+    ANN stack (Jegou et al.'s IVFADC+R): the q80 scan yields the top
+    R=30 candidates by quantized ADC distance, then ONLY those 30
+    fetch their raw 64-d vectors (a point-lookup join in production —
+    the refine stage touches R rows, never the corpus) and are
+    re-ordered by EXACT squared L2 to the query; final top-10 by
+    (exact_dist, vec_id). Correct-by-construction recall repair for
+    PQ quantization error at the cost of R raw-vector reads. Oracle:
+    the q80 chain with LIMIT 30 wrapped as a candidate CTE, exact
+    64-term distance replayed in DuckDB, identical final ordering."""
+    cand, qrow = _ivfpq_scan(spark, sf_dir, 30)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    terms = [(F.element_at(F.col("v"), i + 1) - F.lit(qrow[i]))
+             * (F.element_at(F.col("v"), i + 1) - F.lit(qrow[i]))
+             for i in range(64)]
+    exact = F.round(sum(terms[1:], terms[0]), 6)
+    return (base.join(F.broadcast(cand.select("vec_id", "adc_dist")),
+                      "vec_id")
+                .select("vec_id", "adc_dist", exact.alias("exact_dist"))
+                .orderBy("exact_dist", "vec_id").limit(10))
+
+
+def _ivfpq_oracle(limit: int = 10) -> str:
     """DuckDB replay of q80: the q73/q74 Lloyd + ADC chains, candidate
     set restricted by the q18 coarse-assignment/probe CTEs (stride-25
     centroids, cosine routing), identical final ordering."""
@@ -1692,7 +1726,27 @@ def _ivfpq_oracle() -> str:
             + "\nJOIN coarse ON coarse.vec_id = e.vec_id"
             + "\nJOIN probes USING (cent_id)"
             + "\nWHERE e.vec_id <> 0"
-            + "\nORDER BY adc_dist, e.vec_id LIMIT 10")
+            + f"\nORDER BY adc_dist, e.vec_id LIMIT {limit}")
+
+
+def _ivfpq_rerank_oracle(r: int = 30, k: int = 10) -> str:
+    """DuckDB replay of q96: the q80 chain at LIMIT r as a candidate
+    CTE, exact 64-term squared-L2 to the query replayed per candidate,
+    final top-k by (exact_dist, vec_id)."""
+    inner = _ivfpq_oracle(limit=r)
+    i = inner.find("\nSELECT")
+    ctes = inner[len("WITH "):i]
+    sel = inner[i + 1:]
+    dist = " + ".join(
+        f"(e.v[{j + 1}] - q.v[{j + 1}]) * (e.v[{j + 1}] - q.v[{j + 1}])"
+        for j in range(64))
+    return (f"WITH {ctes},\ncand AS (\n{sel}\n)"
+            + f"\nSELECT cand.vec_id, cand.adc_dist, "
+            + f"round({dist}, 6) AS exact_dist"
+            + "\nFROM cand"
+            + "\nJOIN e ON e.vec_id = cand.vec_id"
+            + "\nCROSS JOIN (SELECT v FROM e WHERE vec_id = 0) q(v)"
+            + f"\nORDER BY exact_dist, cand.vec_id LIMIT {k}")
 
 
 def q82_ivfpq_residual_topk(spark, sf_dir):
@@ -2523,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_url_keep_latest": q93_url_keep_latest,
         "q94_packed_examples": q94_packed_examples,
         "q95_bpe_packed_examples": q95_bpe_packed_examples,
+        "q96_ivfpq_rerank": q96_ivfpq_rerank,
     }
 
 
@@ -3750,6 +3805,7 @@ def oracle_sql() -> dict[str, str]:
         "q74_pq_adc_topk": _pq_adc_oracle(),
         "q80_ivfpq_topk": _ivfpq_oracle(),
         "q82_ivfpq_residual_topk": _ivfpq_res_oracle(),
+        "q96_ivfpq_rerank": _ivfpq_rerank_oracle(),
         "q75_weighted_sample": f"""
             SELECT doc_id,
                    round(least(n_chars::DOUBLE / (2000.0)::DOUBLE,

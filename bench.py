@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "q74_pq_adc_topk",           # PQ asymmetric-distance ANN
     "q80_ivfpq_topk",            # r5: IVF-PQ composed search (IVFADC)
     "q82_ivfpq_residual_topk",   # r5: residual IVFADC (per-list ADC)
+    "q96_ivfpq_rerank",          # r5: IVFADC+R exact re-rank
     "q78_chunk_context_scan",    # D1 chunk-context scan (SQL twin)
     "q83_semantic_dedup",        # r5: SemDeDup cluster-bucketed prune
     "q84_dsir_weights",          # r5: DSIR importance weights

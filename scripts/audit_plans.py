@@ -133,6 +133,12 @@ AUDIT = {
     # is a TakeOrdered, never a global sort
     "q80_ivfpq_topk": ["BroadcastHashJoin|BroadcastExchange", "Window",
                        "TakeOrderedAndProject"],
+    # r5 IVFADC+R re-rank: the q80 scan at R=30 broadcast back onto
+    # the raw-vector table (the refine stage touches R rows, never
+    # the corpus); exact distance is a codegen projection, final
+    # top-10 a TakeOrdered
+    "q96_ivfpq_rerank": ["BroadcastHashJoin|BroadcastExchange",
+                         "TakeOrderedAndProject"],
     # r5 residual IVFADC: the residual table is localCheckpoint'd (the
     # Lloyd loop and the encode both scan it), candidates filter to
     # the probed lists (isin over 3 driver-collected ids — partition-
@@ -274,6 +280,8 @@ FORBID = {
                            "CartesianProduct"],
     "q80_ivfpq_topk": ["CartesianProduct", "ArrowEvalPython",
                        "BatchEvalPython", "SortAggregate"],
+    "q96_ivfpq_rerank": ["CartesianProduct", "ArrowEvalPython",
+                         "BatchEvalPython", "SortAggregate"],
     "q82_ivfpq_residual_topk": ["CartesianProduct", "ArrowEvalPython",
                                 "BatchEvalPython", "SortAggregate"],
     "q79_sliding_span_dedup": ["CartesianProduct", "ArrowEvalPython",
