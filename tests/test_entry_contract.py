@@ -24,10 +24,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def _norm_cell(v):
     # array-valued cells: duckdb's .df() yields numpy ndarrays where
     # Spark collects Python lists — identical contents, different
-    # reprs — so canonicalize both to an elementwise form.  (Only
-    # q94's `tokens` column is non-scalar, and it sits OUTSIDE the
-    # driver's 50-query graded window, so the driver's own treatment
-    # of array cells never comes into play.)
+    # reprs — so canonicalize both to an elementwise form.  (Only the
+    # packed-example `tokens` columns (q94/q95) are non-scalar, and
+    # both sit OUTSIDE the driver's 50-query graded window, so the
+    # driver's own treatment of array cells never comes into play.)
     if isinstance(v, np.ndarray):
         v = v.tolist()
     if isinstance(v, (list, tuple)):
