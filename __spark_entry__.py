@@ -2444,6 +2444,57 @@ def q95_bpe_packed_examples(spark, sf_dir):
                                 tokens_col="bpe_tokens")
 
 
+def q97_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (90/5/5): split assignment is
+    a deterministic function of md5(source) — GROUP-level, so every
+    doc of a source lands in the same split and near-duplicate pages
+    (which cluster within domains in real crawls) can never straddle
+    the train/eval boundary. The no-rand md5-bucket family the
+    samplers use: a pure projection, absorbed by the scan. Output:
+    per-(split, lang) doc/token/source counts; the no-straddle
+    invariant itself is pytest-pinned (a source maps to exactly one
+    split by construction)."""
+    from pii_extract_base_spark.functions.sampling import (
+        leakage_safe_split)
+    from pii_extract_base_spark.functions.textstats import token_count
+    docs = _t(spark, sf_dir, "documents")
+    sp = leakage_safe_split(docs, "source")
+    return (sp.groupBy("split", "lang")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum(token_count("text").cast("long"))
+                    .alias("n_tokens"),
+                   F.countDistinct("source").alias("n_sources"))
+              .orderBy("split", "lang"))
+
+
+def _leakage_split_oracle() -> str:
+    """DuckDB replay of q97: identical md5-hex-prefix bucket and the
+    SAME integer thresholds (shared via sampling.split_thresholds)."""
+    from pii_extract_base_spark.functions.sampling import (
+        split_thresholds)
+    t1, t2 = split_thresholds((("train", 0.90), ("val", 0.05),
+                               ("test", 0.05)))
+    toks = (f"len({_DUCK_WORDS})::BIGINT")
+    return f"""
+        WITH b AS (
+          SELECT lang, source, {toks} AS n_tok,
+                 ('0x' || substr(md5(coalesce(source, '')), 1, 4))::BIGINT
+                   AS bucket
+          FROM documents
+        ), s AS (
+          SELECT lang, source, n_tok,
+                 CASE WHEN bucket < {t1} THEN 'train'
+                      WHEN bucket < {t2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b
+        )
+        SELECT split, lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_tok)::BIGINT AS n_tokens,
+               COUNT(DISTINCT source)::BIGINT AS n_sources
+        FROM s GROUP BY split, lang ORDER BY split, lang
+    """
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2589,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_bpe_packed_examples": q95_bpe_packed_examples,
         "q04_segment_top_customers": q04_segment_top_customers,
         "q18_ivf_topk": q18_ivf_topk,
+        "q97_leakage_safe_split": q97_leakage_safe_split,
     }
 
 
@@ -3817,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
         "q80_ivfpq_topk": _ivfpq_oracle(),
         "q82_ivfpq_residual_topk": _ivfpq_res_oracle(),
         "q96_ivfpq_rerank": _ivfpq_rerank_oracle(),
+        "q97_leakage_safe_split": _leakage_split_oracle(),
         "q75_weighted_sample": f"""
             SELECT doc_id,
                    round(least(n_chars::DOUBLE / (2000.0)::DOUBLE,

@@ -430,3 +430,42 @@ def weighted_sample(df: DataFrame, key_col: str,
     w = F.least(F.greatest(F.col(weight_col).cast("double"),
                            F.lit(0.0)), F.lit(1.0))
     return df.where(u < w)
+
+
+def split_thresholds(fracs) -> list:
+    """Cumulative md5-bucket thresholds over [0, 65536) for the given
+    (name, fraction) list — shared by `leakage_safe_split` and its
+    DuckDB oracle so both engines compare against identical literals."""
+    out, acc = [], 0.0
+    for _, frac in fracs[:-1]:
+        acc += frac
+        out.append(int(round(acc * 65536)))
+    return out
+
+
+def leakage_safe_split(df: DataFrame, key_col: str,
+                       fracs=(("train", 0.90), ("val", 0.05),
+                              ("test", 0.05)),
+                       split_col: str = "split") -> DataFrame:
+    """Deterministic GROUP-level train/val/test split: every row of a
+    key (e.g. crawl domain) lands in the SAME split, so near-duplicate
+    documents — which cluster within domains in real crawls — can
+    never straddle the train/eval boundary (leakage control; the
+    group-level analogue of the eval-decontamination pass).
+
+    bucket = first 4 hex chars of md5(key) in [0, 65536); cumulative-
+    fraction thresholds on the bucket assign the split. Same md5-bucket
+    family as the samplers: no rand(), no shuffle, resume-stable — a
+    pure projection the scan absorbs, so at 10^12 docs this costs
+    nothing beyond the scan itself. NULL keys hash as '' (one
+    deterministic group, identical in the DuckDB twin)."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long")
+    expr = None
+    for thr, (name, _) in zip(split_thresholds(fracs), fracs):
+        cond = bucket < thr
+        expr = (F.when(cond, name) if expr is None
+                else expr.when(cond, name))
+    expr = (F.lit(fracs[-1][0]) if expr is None
+            else expr.otherwise(fracs[-1][0]))
+    return df.withColumn(split_col, expr)

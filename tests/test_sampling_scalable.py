@@ -225,3 +225,47 @@ def test_per_key_cap_scalable_validates(spark):
     df = spark.createDataFrame([(1, "a")], "id long, dom string")
     with pytest.raises(ValueError):
         per_key_cap_scalable(df, "dom", 0, "id")
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+
+def test_leakage_safe_split_no_straddle(spark):
+    """The load-bearing invariant: a key maps to exactly ONE split, so
+    near-dup docs sharing a domain can never cross the train/eval
+    boundary; assignment is a pure function of the key (re-run and
+    partitioning invariant), and fractions land near their targets."""
+    from pii_extract_base_spark.functions.sampling import (
+        leakage_safe_split, split_thresholds)
+
+    rows = [(i, f"domain{i % 211}.com") for i in range(2000)]
+    rows += [(9001, None), (9002, None)]  # NULL keys: one '' group
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = leakage_safe_split(df, "source").cache()
+    straddle = (out.groupBy("source")
+                   .agg(F.countDistinct("split").alias("k"))
+                   .where(F.col("k") > 1).count())
+    assert straddle == 0
+    # NULL keys form one deterministic group with a single split
+    nulls = out.where(F.col("source").isNull()) \
+               .select("split").distinct().collect()
+    assert len(nulls) == 1 and nulls[0]["split"] in (
+        "train", "val", "test")
+
+    # partition-layout invariance: identical assignment at 1 partition
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(
+                 df.repartition(1), "source").collect()}
+    for r in out.collect():
+        assert again[r["doc_id"]] == r["split"]
+
+    # fractions: md5 buckets are near-uniform, so with 211 domains the
+    # train share should be in a loose band around 0.90
+    n = out.count()
+    train = out.where(F.col("split") == "train").count()
+    assert 0.80 <= train / n <= 0.97
+
+    # thresholds helper: cumulative, int, stable
+    assert split_thresholds((("train", 0.90), ("val", 0.05),
+                             ("test", 0.05))) == [58982, 62259]
