@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "q92_tokenizer_eval",        # r5: per-lang fertility/compression
     "q93_url_keep_latest",       # r5: keep-latest-crawl URL dedup
     "q94_packed_examples",       # r5: packed-example writer (q89's half)
+    "q97_leakage_safe_split",    # r5: group-level train/val/test split
 ]
 
 
