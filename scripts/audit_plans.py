@@ -196,6 +196,9 @@ AUDIT = {
     # r5 keep-latest URL dedup: native canonicalize chain + the q91
     # two-hash-aggregate election keyed by canonical URL
     "q93_url_keep_latest": ["HashAggregate"],
+    # r5 leakage-safe split: md5-bucket CASE is a pure projection the
+    # scan absorbs; the report is one partial+final hash agg pair
+    "q97_leakage_safe_split": ["HashAggregate"],
     # r5 corpus-fit bigram LM: bigram explode + count hash aggs fit
     # the model; (V,k) scalars enter via a 1-row BroadcastExchange;
     # distinct score-side pairs join the count tables (hash joins)
@@ -307,6 +310,8 @@ FORBID = {
                               "BatchEvalPython", "SortAggregate"],
     "q93_url_keep_latest": ["CartesianProduct", "ArrowEvalPython",
                             "BatchEvalPython", "SortAggregate"],
+    "q97_leakage_safe_split": ["CartesianProduct", "ArrowEvalPython",
+                               "BatchEvalPython", "SortAggregate"],
     "q94_packed_examples": ["CartesianProduct", "ArrowEvalPython",
                             "BatchEvalPython", "SortAggregate"],
     "q95_bpe_packed_examples": ["CartesianProduct", "BatchEvalPython",
