@@ -436,6 +436,15 @@ def split_thresholds(fracs) -> list:
     """Cumulative md5-bucket thresholds over [0, 65536) for the given
     (name, fraction) list — shared by `leakage_safe_split` and its
     DuckDB oracle so both engines compare against identical literals."""
+    if not fracs:
+        raise ValueError("fracs must name at least one split")
+    if any(f < 0 for _, f in fracs):
+        raise ValueError(f"negative split fraction in {fracs}")
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}"
+                         " (an under-allocation would silently dump the"
+                         " remainder into the last split)")
     out, acc = [], 0.0
     for _, frac in fracs[:-1]:
         acc += frac

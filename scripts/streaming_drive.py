@@ -42,25 +42,24 @@ WATERMARK = "10 minutes"
 
 
 def batch_reference(spark, pages_pq):
-    """The streaming plan's batch twin over the same parquet input."""
-    from pyspark.sql import functions as F
+    """The streaming plan's batch twin over the same parquet input —
+    literally the SAME aggregation function (withWatermark is a no-op
+    on batch DataFrames in Spark 4), so the twin cannot drift from
+    what the stream actually computes."""
     from pii_extract_base_spark.streaming.quality_stream import (
-        apply_pipeline_stream)
-    scored = apply_pipeline_stream(spark.read.parquet(pages_pq))
-    return (scored
-            .groupBy(F.window("warc_ts", WINDOW).alias("w"), "lang", "keep")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_entities").alias("n_entities"))
-            .select(F.col("w.start").alias("window_start"), "lang",
-                    "keep", "n_docs", "n_entities"))
+        apply_pipeline_stream, windowed_keep_counts)
+    return windowed_keep_counts(
+        apply_pipeline_stream(spark.read.parquet(pages_pq)),
+        watermark=WATERMARK, window=WINDOW)
 
 
 def main() -> int:
     from pyspark.sql import functions as F
     from pii_extract_base_spark.config import get_spark
-    from pii_extract_base_spark.sources.pages import synth_pages
+    from pii_extract_base_spark.sources.pages import (
+        PAGES_SCHEMA, synth_pages)
     from pii_extract_base_spark.streaming.quality_stream import (
-        stream_pages, apply_pipeline_stream, windowed_keep_counts)
+        apply_pipeline_stream, windowed_keep_counts)
 
     spark = get_spark(app_name="streaming_drive", cores=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -76,8 +75,7 @@ def main() -> int:
 
     def start_query():
         src = (spark.readStream
-               .schema("url string, warc_ts timestamp, html binary, "
-                       "text string, lang string")
+               .schema(PAGES_SCHEMA)
                .option("maxFilesPerTrigger", 16)  # force >1 microbatch
                .parquet(pages_pq))
         agg = windowed_keep_counts(apply_pipeline_stream(src),

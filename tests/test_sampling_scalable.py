@@ -269,3 +269,12 @@ def test_leakage_safe_split_no_straddle(spark):
     # thresholds helper: cumulative, int, stable
     assert split_thresholds((("train", 0.90), ("val", 0.05),
                              ("test", 0.05))) == [58982, 62259]
+    # malformed fracs raise instead of silently dumping the
+    # unallocated mass into the last split
+    with pytest.raises(ValueError):
+        split_thresholds((("train", 0.5), ("val", 0.05),
+                          ("test", 0.05)))
+    with pytest.raises(ValueError):
+        split_thresholds(())
+    with pytest.raises(ValueError):
+        split_thresholds((("a", 1.2), ("b", -0.2)))
