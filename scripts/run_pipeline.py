@@ -86,6 +86,15 @@ def main() -> int:
                          "resume-stable), e.g. en=0.6,fr=0.4")
     ap.add_argument("--mix-budget", type=int, default=None,
                     help="total rows for --mix (required with --mix)")
+    ap.add_argument("--split", default=None, metavar="NAME=FRAC,...",
+                    help="leakage-safe group-level split by url host "
+                         "(fractions must sum to 1), e.g. "
+                         "train=0.9,val=0.05,test=0.05; reports "
+                         "per-split doc counts in the summary, then "
+                         "only --split-keep flows downstream")
+    ap.add_argument("--split-keep", default="train",
+                    help="which split continues through the pipeline "
+                         "(default train)")
     ap.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
                     help="after the pipeline, concat-and-chunk the KEPT "
                          "pages' scrubbed text into fixed SEQ_LEN-token "
@@ -206,6 +215,28 @@ def main() -> int:
         pages = mixture_sample(pages, "lang", "url", shares,
                                budget=args.mix_budget)
 
+    split_counts = {}
+    if args.split:
+        pages = _stage(pages)
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.functions.htmlextract import host_of
+        from pii_extract_base_spark.functions.sampling import (
+            leakage_safe_split)
+        fracs = tuple((k, float(v)) for k, v in
+                      (kv.split("=", 1) for kv in args.split.split(",")))
+        if args.split_keep not in {k for k, _ in fracs}:
+            ap.error(f"--split-keep {args.split_keep!r} is not one of "
+                     f"the --split names {[k for k, _ in fracs]}")
+        sp = leakage_safe_split(
+            pages.withColumn("_host", host_of(F.col("url"))),
+            "_host", fracs=fracs).localCheckpoint(eager=False)
+        split_counts = {r["split"]: r["n"]
+                        for r in (sp.groupBy("split")
+                                    .agg(F.count("*").alias("n"))
+                                    .collect())}
+        pages = (sp.where(F.col("split") == args.split_keep)
+                   .drop("split", "_host"))
+
     pipe = QualityPipeline(tuple(args.languages.split(",")),
                            from_html=args.from_html)
 
@@ -281,6 +312,7 @@ def main() -> int:
     dt = time.time() - t0
     print(json.dumps({
         "docs": n_total, "kept": n_kept, "entities": n_ents,
+        **({"splits": split_counts} if split_counts else {}),
         **extra,
         "sec": round(dt, 2),
         "docs_per_sec": round(n_total / dt, 1),

@@ -67,3 +67,19 @@ def test_all_stage_chain_analyzes_and_runs(spark, monkeypatch):
     assert 0 < summary["docs"] <= 300
     assert 0 <= summary["kept"] <= summary["docs"]
     assert set(summary) >= {"docs", "kept", "entities"}
+
+
+def test_split_stage_is_deterministic_and_leakage_safe(spark,
+                                                       monkeypatch):
+    """--split: group-level split counts are reported, only the
+    --split-keep split flows downstream, and a re-run is identical
+    (pure md5 function of the url host)."""
+    argv = ["run_pipeline", "--sf-dir", SF_DIR, "--limit", "200",
+            "--split", "train=0.9,val=0.05,test=0.05"]
+    a = _drive(monkeypatch, argv)
+    b = _drive(monkeypatch, argv)
+    assert a == {**b, "sec": a["sec"],
+                 "docs_per_sec": a["docs_per_sec"]}
+    assert set(a["splits"]) <= {"train", "val", "test"}
+    assert sum(a["splits"].values()) == 200
+    assert a["docs"] == a["splits"].get("train", 0)
