@@ -24,7 +24,49 @@ per round — the standard price of an iterative fixed-point (GraphX
 pays the same); the round count is log-bounded, not data-bounded.
 """
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Adaptive small-graph short circuit: at or below this many DISTINCT
+# edges the whole relation is collected and solved with union-find on
+# the driver — the same adaptive-execution move AQE makes when runtime
+# stats show a join side is broadcast-small. Rationale: the candidate
+# EDGE relation is already the output of capped LSH / inverted-index /
+# near-dup stages, so it is orders smaller than the corpus; at two
+# 8-byte columns, 1M edges is ~16 MB on the driver, while
+# star-contraction pays ~8 scheduled jobs per round × O(log² n) rounds
+# of pure overhead at that size. Above the threshold the diameter-
+# independent distributed path below is the only thing that works.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _cc_driver(e: DataFrame, node_col: str, cluster_col: str) -> DataFrame:
+    """Union-find over the collected (u, v) edge list. Labels are the
+    component minimum — identical by construction to the distributed
+    fixed point (both are exact min-id relabelings, no floats), so the
+    two paths are interchangeable row-for-row."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:                    # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row["u"], row["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:                             # min root absorbs
+            parent[max(ru, rv)] = min(ru, rv)
+    dt = e.schema["u"].dataType
+    schema = T.StructType([T.StructField(node_col, dt),
+                           T.StructField(cluster_col, dt)])
+    return e.sparkSession.createDataFrame(
+        [(n, find(n)) for n in parent], schema)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -56,7 +98,9 @@ def _small_star(e: DataFrame) -> DataFrame:
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 50,
                          node_col: str = "node",
-                         cluster_col: str = "cluster") -> DataFrame:
+                         cluster_col: str = "cluster",
+                         small_graph_edges: int = SMALL_GRAPH_EDGES
+                         ) -> DataFrame:
     """(node, cluster) for every node appearing in ``pairs``; cluster =
     the minimum node id of its connected component (so a cluster-dedup
     keeps exactly the rows where node == cluster).
@@ -65,6 +109,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     edge). ``max_iter`` is a log-bound backstop — the algorithm
     provably converges in O(log² n) rounds; hitting the bound raises
     rather than returning partially-merged clusters.
+
+    Adaptive execution: the distinct edge relation is materialized
+    (localCheckpoint) before the loop anyway, so its exact size is one
+    cheap count away; at or below ``small_graph_edges`` the fixed
+    point is solved with driver union-find (`_cc_driver`) instead of
+    paying O(log² n) rounds of job scheduling — pass 0 to force the
+    distributed path. Both paths emit identical min-id labels
+    (pytest-pinned in tests/test_graph_cluster.py).
     """
     e = (pairs.select(F.greatest(F.col(src), F.col(dst)).alias("u"),
                       F.least(F.col(src), F.col(dst)).alias("v"))
@@ -72,6 +124,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                      & (F.col("u") != F.col("v")))
               .distinct()
               .localCheckpoint())
+    if small_graph_edges and e.count() <= small_graph_edges:
+        return _cc_driver(e, node_col, cluster_col)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint()
         # fixed point ⇔ same distinct edge set (both sides distinct,

@@ -39,19 +39,27 @@ CC_CASES = {
 }
 
 
+# small_graph_edges=0 forces the distributed star-contraction loop;
+# the default takes the adaptive driver union-find path — both must
+# match the reference union-find on every shape
+@pytest.mark.parametrize("small", [0, 10 ** 6],
+                         ids=["distributed", "driver"])
 @pytest.mark.parametrize("name", sorted(CC_CASES))
-def test_connected_components_shapes(spark, name):
+def test_connected_components_shapes(spark, name, small):
     from pii_extract_base_spark.operators.graph import connected_components
     edges = CC_CASES[name]
     nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
     expected = _uf_clusters([e for e in edges if e[0] != e[1]], nodes)
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["cluster"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(
+               df, small_graph_edges=small).collect()}
     assert got == expected
 
 
-def test_connected_components_random(spark):
+@pytest.mark.parametrize("small", [0, 10 ** 6],
+                         ids=["distributed", "driver"])
+def test_connected_components_random(spark, small):
     from pii_extract_base_spark.operators.graph import connected_components
     rng = random.Random(1234)
     edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
@@ -59,8 +67,23 @@ def test_connected_components_random(spark):
     expected = _uf_clusters([e for e in edges if e[0] != e[1]], nodes)
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["cluster"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(
+               df, small_graph_edges=small).collect()}
     assert got == expected
+
+
+def test_connected_components_paths_identical_rows(spark):
+    """The adaptive short circuit must be row-for-row interchangeable
+    with the distributed fixed point (schema + exact rows)."""
+    from pii_extract_base_spark.operators.graph import connected_components
+    rng = random.Random(77)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = connected_components(df)
+    slow = connected_components(df, small_graph_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == \
+        sorted(map(tuple, slow.collect()))
 
 
 def test_connected_components_null_edges(spark):
