@@ -30,6 +30,64 @@ from typing import List, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
+# Adaptive small-input short circuit for the TRAINING loop (round 5,
+# the same move as operators/graph's CC/PageRank gates): at or below
+# this many vectors the Lloyd rounds are replayed on the driver
+# (`_lloyd_driver`) instead of paying iters × (assign scan + agg +
+# k-row collect) of job scheduling. The engine's production pattern is
+# fit-on-sample / encode-the-corpus (q95, BENCH.md), so the trainer's
+# input is bounded by construction; the final assignment projection
+# ALWAYS stays distributed (centroid literals over the full relation).
+# The replay costs O(rows · k · dim) Python floats per round — the
+# default assumes small k (the IVF/PQ shapes); lower it or pass 0 for
+# large-k codebooks, where the distributed loop is the right path.
+KMEANS_DRIVER_ROWS = 65_536
+
+
+def _lloyd_driver(rows, k: int, iters: int, round_dp: int):
+    """Driver replay of the Lloyd rounds over collected (id, vector)
+    rows (pre-sorted by id). Arithmetic is EXACTLY the distributed
+    loop's: init = first k rows, distance = sequential left-fold from
+    0.0 of (a-b)² (IEEE-identical to `nearest_centroid`'s aggregate
+    fold), rounded HALF_UP at 9 dp the way Catalyst's F.round rounds
+    doubles, tie-break to the smallest cid, centroid update =
+    component mean rounded HALF_UP at ``round_dp``. The ONLY
+    difference between paths is summation order inside the mean —
+    absorbed by ``round_dp`` quantization, the same tolerance the
+    DuckDB oracle replays already rely on. Path parity (exact ==) is
+    pytest-pinned."""
+    from decimal import Decimal
+    from .graph import _round_half_up
+    q9 = Decimal(1).scaleb(-9)
+    qd = Decimal(1).scaleb(-round_dp)
+    cents = [(i, list(v)) for i, (_id, v) in enumerate(rows[:k])]
+    for _ in range(iters):
+        sums: dict = {}
+        cnts: dict = {}
+        for _id, v in rows:
+            best = None
+            for cid, c in cents:
+                d = 0.0
+                for j in range(len(c)):
+                    t = v[j] - c[j]
+                    d = d + t * t
+                key = (_round_half_up(d, q9), cid)
+                if best is None or key < best:
+                    best = key
+            b = best[1]
+            s = sums.get(b)
+            if s is None:
+                sums[b] = list(v)
+                cnts[b] = 1
+            else:
+                for j in range(len(v)):
+                    s[j] = s[j] + v[j]
+                cnts[b] += 1
+        cents = [(cid, [_round_half_up(sums[cid][j] / cnts[cid], qd)
+                        for j in range(len(sums[cid]))])
+                 for cid in sorted(sums)]
+    return cents
+
 
 def _sq_dist(vec_col, centroid: List[float]):
     """Unrolled left-to-right squared-L2 sum: (v[0]-c0)² + … — the
@@ -90,7 +148,8 @@ def kmeans_assign(emb: DataFrame, centroids: List[Tuple[int, List[float]]],
 
 def kmeans(emb: DataFrame, k: int = 4, iters: int = 2,
            id_col: str = "vec_id", vec_col: str = "embedding",
-           dim: int = None, round_dp: int = 4):
+           dim: int = None, round_dp: int = 4,
+           small_rows: int = KMEANS_DRIVER_ROWS):
     """Lloyd k-means: returns (assignments DataFrame(id, cluster),
     final centroids [(cid, [floats])]). ``dim`` is required — the
     centroids are inlined as plan literals, and inferring the width
@@ -105,6 +164,20 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 2,
         raise ValueError("dim is required: centroids are plan literals")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(F.col(id_col), v.alias("v"))
+
+    # adaptive: a cheap count gates the driver Lloyd replay (one
+    # collect of the gated-small training relation replaces
+    # iters × (assign + agg) scheduled jobs); the assignment pass
+    # below stays distributed either way. Pass small_rows=0 to force
+    # the distributed loop.
+    if small_rows and base.count() <= small_rows:
+        rows = sorted(((r[id_col], list(r["v"]))
+                       for r in base.collect()), key=lambda x: x[0])
+        centroids = _lloyd_driver(rows, k, iters, round_dp)
+        assigned = kmeans_assign(base.select(id_col, F.col("v")
+                                             .alias(vec_col)),
+                                 centroids, id_col, vec_col)
+        return assigned, centroids
 
     # init: k smallest ids — a k-row collect of aggregated state,
     # NOT a corpus collect (the iterative-ML driver-loop contract)
@@ -135,7 +208,8 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 2,
 def kmeans_grouped(df: DataFrame, groups: List[int], k: int = 4,
                    iters: int = 2, group_col: str = "sub",
                    id_col: str = "vec_id", vec_col: str = "v",
-                   dim: int = None, round_dp: int = 4):
+                   dim: int = None, round_dp: int = 4,
+                   small_rows: int = KMEANS_DRIVER_ROWS):
     """Lloyd k-means fitted PER GROUP in ONE shared driver loop — the
     trainer shape product quantization needs: M subquantizers are M
     independent k-means problems over the M subvector slices, and
@@ -159,14 +233,7 @@ def kmeans_grouped(df: DataFrame, groups: List[int], k: int = 4,
     base = df.select(F.col(group_col).alias("g"), F.col(id_col),
                      F.col(vec_col).alias("v"))
 
-    w = Window.partitionBy("g").orderBy(id_col)
-    init_rows = (base.withColumn("_rn", F.row_number().over(w))
-                     .where(F.col("_rn") <= k).collect())
-    cents = {g: [] for g in groups}
-    for r in sorted(init_rows, key=lambda r: (r["g"], r[id_col])):
-        cents[r["g"]].append((len(cents[r["g"]]), list(r["v"])))
-
-    def assign_col():
+    def assign_from(cents):
         # per-group nearest_centroid keeps each CASE branch a
         # fixed-size codebook loop — the full expression grows with
         # |groups| only, never k×dim (the r4 64 KB-codegen fix)
@@ -178,8 +245,32 @@ def kmeans_grouped(df: DataFrame, groups: List[int], k: int = 4,
                     else expr.when(cond, best))
         return expr
 
+    # adaptive: replay ALL groups' Lloyd rounds on the driver when the
+    # posexploded training relation is gated small (per-group
+    # arithmetic identical to the distributed loop — see
+    # `_lloyd_driver`); the assignment projection stays distributed
+    if small_rows and base.count() <= small_rows:
+        by_g: dict = {g: [] for g in groups}
+        for r in base.collect():
+            by_g[r["g"]].append((r[id_col], list(r["v"])))
+        cents = {g: _lloyd_driver(sorted(by_g[g], key=lambda x: x[0]),
+                                  k, iters, round_dp)
+                 for g in groups}
+        assigned = (base.withColumn("_b", assign_from(cents))
+                        .select(F.col("g").alias(group_col),
+                                F.col(id_col),
+                                F.col("_b")["cid"].alias("cluster")))
+        return assigned, cents
+
+    w = Window.partitionBy("g").orderBy(id_col)
+    init_rows = (base.withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") <= k).collect())
+    cents = {g: [] for g in groups}
+    for r in sorted(init_rows, key=lambda r: (r["g"], r[id_col])):
+        cents[r["g"]].append((len(cents[r["g"]]), list(r["v"])))
+
     for _ in range(iters):
-        assigned = base.withColumn("_b", assign_col()) \
+        assigned = base.withColumn("_b", assign_from(cents)) \
                        .withColumn("cluster", F.col("_b")["cid"])
         upd = (assigned.groupBy("g", "cluster")
                        .agg(*[F.round(F.avg(F.col("v")[i]), round_dp)
@@ -190,7 +281,7 @@ def kmeans_grouped(df: DataFrame, groups: List[int], k: int = 4,
             cents[r["g"]].append(
                 (int(r["cluster"]),
                  [float(r[f"c{i}"]) for i in range(dim)]))
-    assigned = (base.withColumn("_b", assign_col())
+    assigned = (base.withColumn("_b", assign_from(cents))
                     .select(F.col("g").alias(group_col), F.col(id_col),
                             F.col("_b")["cid"].alias("cluster")))
     return assigned, cents

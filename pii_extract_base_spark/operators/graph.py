@@ -149,9 +149,77 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return members.union(roots)
 
 
+# PageRank's adaptive gate is lower than CC's: the driver replay is a
+# Python loop costing O(iters × edges) dict updates plus O(iters ×
+# nodes) exact-decimal roundings, so it only wins while per-round JOB
+# SCHEDULING (not arithmetic) dominates — comfortably true at 100k
+# edges (~1 s driver vs ~8 rounds × several jobs of pure overhead).
+PAGERANK_DRIVER_EDGES = 100_000
+
+
+def _round_half_up(x: float, quant) -> float:
+    """Reproduce Spark's `F.round` on DoubleType exactly: Catalyst
+    rounds BigDecimal.decimal(d) — the double's SHORTEST round-trip
+    decimal representation, which Python's repr() also produces — at
+    the target scale with HALF_UP. Python's builtin round() is
+    half-EVEN and would diverge on exact tie digits."""
+    from decimal import Decimal, ROUND_HALF_UP
+    return float(Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP))
+
+
+def _pagerank_driver(spark, node_type, e_rows,
+                     iters: int, damping: float, quant: int) -> DataFrame:
+    """Driver replay of the distributed loop over the collected raw
+    edge relation (s, t, w) — ONE collect replaces the prep phase's
+    five scheduled jobs (nodes distinct, deg agg, en join, has_out
+    collect) AND the per-round loop. Every per-round arithmetic step
+    mirrors the Spark expression's shape and association order
+    (`tp/n + d·(c + dm/n)`), and ranks are quantized per round with
+    the identical HALF_UP rule, so the only difference between paths
+    is floating SUMMATION ORDER in the degree / contribution /
+    dangling aggregates — which the per-round quantization exists to
+    absorb (module invariant: ranks ~1/N, order drift ~1 ULP, quant
+    digits far coarser). Path parity is pytest-pinned EXACTLY (==),
+    not to a tolerance."""
+    from decimal import Decimal
+    import pyspark.sql.types as T
+    q = Decimal(1).scaleb(-quant)
+    deg: dict = {}
+    node_set = set()
+    for s, t, w in e_rows:
+        node_set.add(s)
+        node_set.add(t)
+        if s is not None:            # Spark's en USING-join drops them
+            deg[s] = deg.get(s, 0.0) + w
+    # stable iteration across runs (None-safe: NULL nodes sort first)
+    nodes = sorted(node_set, key=lambda x: (x is not None, x))
+    # NULL-dst contributions are kept in en but never join back onto a
+    # rank row in the distributed plan (null-unsafe equi-join) — mirror
+    # that by skipping them at accumulation time
+    en_rows = [(s, t, w / deg[s]) for s, t, w in e_rows
+               if s is not None and t is not None]
+    n = float(len(nodes))
+    tp = 1.0 - damping
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        c = dict.fromkeys(nodes, 0.0)
+        for s, t, frac in en_rows:
+            c[t] = c[t] + rank[s] * frac
+        dm = 0.0
+        for v in nodes:
+            if v not in deg:
+                dm = dm + rank[v]
+        rank = {v: _round_half_up(tp / n + damping * (c[v] + dm / n), q)
+                for v in nodes}
+    schema = T.StructType([T.StructField("node", node_type),
+                           T.StructField("rank", T.DoubleType())])
+    return spark.createDataFrame([(v, rank[v]) for v in nodes], schema)
+
+
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str = None, iters: int = 8,
-             damping: float = 0.85, quant: int = 10) -> DataFrame:
+             damping: float = 0.85, quant: int = 10,
+             small_graph_edges: int = PAGERANK_DRIVER_EDGES) -> DataFrame:
     """Weighted PageRank over an edge relation, fixed iteration count.
 
     (node, rank) for every node appearing as src or dst.  Per
@@ -178,10 +246,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     The reference has no graph surface; this is the beyond-reference
     web-graph family (host link graph from `extract_links`, q65/q66).
+
+    Adaptive execution (round 5, same move as `connected_components`):
+    the pre-normalized edge relation is materialized before the loop
+    anyway, so at or below ``small_graph_edges`` rows the fixed
+    iteration count is replayed on the driver (`_pagerank_driver`) —
+    identical arithmetic, identical HALF_UP quantization — instead of
+    paying iters × ~4 scheduled jobs of overhead; pass 0 to force the
+    distributed loop. Exact path parity is pytest-pinned.
     """
+    # materialize the edge relation ONCE: nodes / deg / en / has_out
+    # each consume it, and without the barrier every one of them would
+    # re-run the caller's upstream subtree (q66's HTML link extraction
+    # ran ~5× in the prep phase alone — it dominated the wall once the
+    # loop itself went adaptive)
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"),
                      (F.col(weight) if weight else F.lit(1))
-                     .cast("double").alias("w"))
+                     .cast("double").alias("w")).localCheckpoint()
+    if small_graph_edges and e.count() <= small_graph_edges:
+        return _pagerank_driver(
+            edges.sparkSession, e.schema["s"].dataType,
+            [(r["s"], r["t"], r["w"]) for r in e.collect()],
+            iters, damping, quant)
     nodes = (e.select(F.col("s").alias("node"))
               .union(e.select(F.col("t").alias("node")))
               .distinct().localCheckpoint())

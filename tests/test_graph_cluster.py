@@ -6,6 +6,7 @@ import random
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +111,11 @@ def test_dup_clusters_canonical_flag(spark):
 # ---------------------------------------------------------------------------
 # k-means
 
-def test_kmeans_matches_numpy_lloyd(spark):
+# small_rows=0 forces the distributed Lloyd loop; the default takes
+# the adaptive driver replay — both must satisfy the same oracle
+@pytest.mark.parametrize("small", [0, 65536],
+                         ids=["distributed", "driver"])
+def test_kmeans_matches_numpy_lloyd(spark, small):
     np = pytest.importorskip("numpy")
     from pii_extract_base_spark.operators.cluster import kmeans
 
@@ -142,10 +147,30 @@ def test_kmeans_matches_numpy_lloyd(spark):
             cents[cid] = np.round(members.mean(axis=0), 4)
     expected = assign(cents)
 
-    assigned, final_cents = kmeans(df, k=k, iters=iters, dim=dim)
+    assigned, final_cents = kmeans(df, k=k, iters=iters, dim=dim,
+                                   small_rows=small)
     got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     assert got == expected
     assert sorted(c for c, _ in final_cents) == sorted(cents)
+
+
+def test_kmeans_paths_identical(spark):
+    """The adaptive driver Lloyd replay must equal the distributed
+    loop EXACTLY — centroid doubles and assignments — on a random
+    float32 input (summation-order drift absorbed by the round_dp
+    quantization, everything else bit-replayed)."""
+    np = pytest.importorskip("numpy")
+    from pii_extract_base_spark.operators.cluster import kmeans
+    rng = np.random.RandomState(23)
+    pts = rng.randn(150, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(150)],
+        "vec_id long, embedding array<float>")
+    a_fast, c_fast = kmeans(df, k=4, iters=3, dim=8)
+    a_slow, c_slow = kmeans(df, k=4, iters=3, dim=8, small_rows=0)
+    assert c_fast == c_slow
+    assert sorted(map(tuple, a_fast.collect())) == \
+        sorted(map(tuple, a_slow.collect()))
 
 
 def test_kmeans_requires_dim(spark):
@@ -222,19 +247,58 @@ def _run_pagerank(spark, edges, **kw):
     return {r["node"]: r["rank"] for r in out.collect()}
 
 
-def test_pagerank_matches_power_iteration(spark):
+# small_graph_edges=0 forces the distributed loop; the default takes
+# the adaptive driver replay — both must satisfy the same oracles
+@pytest.mark.parametrize("small", [0, 10 ** 5],
+                         ids=["distributed", "driver"])
+def test_pagerank_matches_power_iteration(spark, small):
     import random
     rng = random.Random(7)
     edges = list({(rng.randrange(12), rng.randrange(12))
                   for _ in range(40)})
     edges = [(u, v, float(rng.randint(1, 3)))
              for u, v in edges if u != v]
-    got = _run_pagerank(spark, edges)
+    got = _run_pagerank(spark, edges, small_graph_edges=small)
     want = _numpy_pagerank(edges)
     assert set(got) == set(want)
     for n in want:
         assert abs(got[n] - want[n]) < 1e-9, n
     assert abs(sum(got.values()) - 1.0) < 1e-6     # mass conserved
+
+
+def test_pagerank_paths_identical_values(spark):
+    """The adaptive driver replay must equal the distributed loop
+    EXACTLY (same HALF_UP quantization every round, summation-order
+    drift absorbed by design) — not merely within tolerance. Random
+    weighted multigraph with dangling nodes and skewed degrees."""
+    import random
+    rng = random.Random(55)
+    edges = [(rng.randrange(30), rng.randrange(40),
+              float(rng.randint(1, 5))) for _ in range(180)]
+    edges = [e for e in edges if e[0] != e[1]]
+    fast = _run_pagerank(spark, edges)
+    slow = _run_pagerank(spark, edges, small_graph_edges=0)
+    assert fast == slow
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """_round_half_up (the driver replay's quantizer) must agree with
+    Catalyst's F.round on DoubleType bit-for-bit, including half-digit
+    ties where Python's builtin banker's rounding diverges."""
+    import random
+    from pii_extract_base_spark.operators.graph import _round_half_up
+    from decimal import Decimal
+    q = Decimal(1).scaleb(-10)
+    rng = random.Random(99)
+    vals = ([rng.random() for _ in range(200)]
+            + [rng.random() * 1e-6 for _ in range(50)]
+            + [0.00000000005, 0.00000000015, 0.12345678905,
+               1.5e-10, 2.5e-10, 0.1 + 0.2, 1.0 / 3.0])
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["y"] for r in
+           df.select(F.round("x", 10).alias("y")).collect()]
+    want = [_round_half_up(v, q) for v in vals]
+    assert got == want
 
 
 def test_pagerank_ring_is_uniform(spark):
@@ -304,11 +368,14 @@ def test_pq_codes_separate_subspace_patterns(spark):
         assert by_pattern[0] != by_pattern[1]
 
 
-def test_kmeans_grouped_matches_per_group_kmeans(spark):
+@pytest.mark.parametrize("small", [0, 65536],
+                         ids=["distributed", "driver"])
+def test_kmeans_grouped_matches_per_group_kmeans(spark, small):
     """The shared-loop grouped trainer (r4, the PQ shape) must produce
     EXACTLY the per-group `kmeans` centroids and assignments — same
     init, same rounding, same tie-breaks, just 1 job per round instead
-    of |groups|."""
+    of |groups| — on BOTH its execution paths (the adaptive driver
+    replay and the distributed loop)."""
     import random
     from pyspark.sql import functions as F
     from pii_extract_base_spark.operators.cluster import (kmeans,
@@ -321,7 +388,8 @@ def test_kmeans_grouped_matches_per_group_kmeans(spark):
     slices = F.array(F.slice("v", 1, dim), F.slice("v", dim + 1, dim))
     subs = df.select("vec_id", F.posexplode(slices).alias("sub", "v"))
     ga, gc = kmeans_grouped(subs, groups=[0, 1], k=3, iters=2,
-                            group_col="sub", vec_col="v", dim=dim)
+                            group_col="sub", vec_col="v", dim=dim,
+                            small_rows=small)
     got_assign = {(r["sub"], r["vec_id"]): r["cluster"]
                   for r in ga.collect()}
     for s in (0, 1):
