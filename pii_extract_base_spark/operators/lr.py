@@ -53,9 +53,55 @@ def _z_col(w: Sequence[float], feature_cols: Sequence[str]):
     return z
 
 
+# Adaptive small-input gate for the GD loop (round 5, the same
+# AQE-style move as operators/graph and operators/cluster): at or
+# below this many training rows the 24-round trajectory is replayed
+# on the driver with numpy instead of paying iters sequential
+# scan+agg jobs of scheduling overhead. 1M rows × (k+1) doubles is a
+# ~40 MB collect — comfortably driver-sized; above it the distributed
+# loop (the 1e12-doc path) is unchanged. Pass 0 to force it.
+LR_DRIVER_ROWS = 1_000_000
+
+
+def _logreg_train_driver(rows, k: int, iters: int, lr: float,
+                         quant: int, n: float) -> List[float]:
+    """Driver replay of the GD rounds over the collected feature
+    relation. The per-round weight update is the IDENTICAL driver
+    code path (`_qround(w - lr·(g/n), quant)`); the only difference
+    from the distributed loop is WHERE the gradient sums run — numpy
+    here (deterministic pairwise summation, no BLAS threading) vs
+    Spark partial aggregates there. Both differ from each other and
+    from the DuckDB oracle only in floating summation order and exp()
+    last-bit rounding, which the per-round ``quant``-digit weight
+    quantization exists to absorb — the module's documented
+    cross-engine invariant. Exact path parity is pytest-pinned and
+    q67 re-hash-verified at sf0.001/sf0.01.
+
+    NULL semantics mirror the aggregates: a row with any NULL feature
+    or label contributes to NO gradient sum (err is NULL), but DOES
+    count in ``n`` (the caller's full count)."""
+    import numpy as np
+    clean = [r for r in rows if all(x is not None for x in r)]
+    X = np.array([r[:k] for r in clean], dtype=np.float64)
+    y = np.array([r[k] for r in clean], dtype=np.float64)
+    w = [0.0] * (k + 1)
+    for _ in range(iters):
+        # elementwise-multiply + .sum, NOT X @ w: matmul dispatches to
+        # BLAS, whose thread-split summation order varies run to run
+        z = (X * np.array(w[1:], dtype=np.float64)).sum(axis=1) + w[0]
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        g = [float(err.sum())] + [float((err * X[:, i]).sum())
+                                  for i in range(k)]
+        w = [_qround(w[i] - lr * (g[i] / n), quant)
+             for i in range(k + 1)]
+    return w
+
+
 def logreg_train(df: DataFrame, feature_cols: Sequence[str],
                  label_col: str = "y", iters: int = 12,
-                 lr: float = 2.0, quant: int = 8) -> List[float]:
+                 lr: float = 2.0, quant: int = 8,
+                 small_rows: int = LR_DRIVER_ROWS) -> List[float]:
     """Fit weights [w0(bias), w1..wk] by full-batch GD from zeros.
 
     ``label_col`` must be 0/1-valued (booleans are cast).  Returns the
@@ -69,6 +115,10 @@ def logreg_train(df: DataFrame, feature_cols: Sequence[str],
     n = float(X.count())
     if n == 0:
         raise ValueError("empty training input")
+    if small_rows and n <= small_rows:
+        rows = [tuple(r[c] for c in feature_cols) + (r["_y"],)
+                for r in X.collect()]
+        return _logreg_train_driver(rows, k, iters, lr, quant, n)
     w = [0.0] * (k + 1)
     for _ in range(iters):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z_col(w, feature_cols)))

@@ -22,10 +22,16 @@ def _blobs(n=120, seed=3):
     return rows
 
 
-def test_train_matches_python_reference(spark):
+# small_rows=0 forces the distributed GD loop; the default takes the
+# adaptive driver numpy replay — the quantized weight trajectory must
+# be EXACTLY identical on both (and to the pure-Python reference)
+@pytest.mark.parametrize("small", [0, 10 ** 6],
+                         ids=["distributed", "driver"])
+def test_train_matches_python_reference(spark, small):
     rows = _blobs()
     df = spark.createDataFrame(rows, "x1 double, x2 double, y int")
-    w_spark = logreg_train(df, ["x1", "x2"], "y", iters=10, lr=4.0)
+    w_spark = logreg_train(df, ["x1", "x2"], "y", iters=10, lr=4.0,
+                           small_rows=small)
     w_py = logreg_python([(r[0], r[1], float(r[2])) for r in rows],
                          k=2, iters=10, lr=4.0)
     assert w_spark == w_py
