@@ -2495,6 +2495,136 @@ def _leakage_split_oracle() -> str:
     """
 
 
+def q98_dsir_resample(spark, sf_dir):
+    """DSIR importance RESAMPLING (functions/dsir.dsir_select_topk) —
+    the selection half the q84 weights feed (Xie et al. 2023 §2):
+    sample k=100 docs without replacement with probability
+    ∝ exp(dsir_logratio) via the Gumbel-top-k identity, with the
+    Gumbel uniform drawn from the shared md5 kernel so the sample is
+    deterministic, resume-stable, and engine-replayable. Plan: q84's
+    two hash aggregates + vocabulary re-join, then ONE
+    TakeOrderedAndProject (per-partition top-k heaps, k rows of
+    driver state — never a global sort)."""
+    from pii_extract_base_spark.functions.dsir import dsir_select_topk
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select_topk(docs, F.col("lang") == "en", k=100)
+
+
+def q99_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled language mixture (functions/sampling
+    .temperature_sample, α=0.3, budget 50%): the multilingual-LM
+    sampling standard (XLM-R/mT5 — keep language l at rate
+    ∝ p_l^α/p_l, tempering the head, up-weighting the tail). Rates
+    derive from ONE count aggregate + two 1-row cross joins entirely
+    in-plan; acceptance is the shared md5 kernel — no rand(), no
+    second corpus scan, resume-stable. Output: kept rows with the
+    applied per-language rate."""
+    from pii_extract_base_spark.functions.sampling import (
+        temperature_sample)
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(docs.select("doc_id", "lang"),
+                             "lang", "doc_id", alpha=0.3,
+                             budget_frac=0.5, rate_alias="rate")
+    return out.select("doc_id", "lang", "rate")
+
+
+def q100_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail layout (Wenzek et al. 2020 §4.3,
+    functions/sampling.quantile_buckets): label every page with its
+    per-language perplexity tercile under the q63 en-LM score — the
+    classic pre-training layout ('train on head+middle, sample
+    tail'). Each tercile cut is the two-phase histogram selection
+    (quantile_cut_scalable — no per-language sort), and the nested
+    kept sets compose into one label via hash joins on doc_id."""
+    from pii_extract_base_spark.functions.ppl_sql import ppl_sql
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_buckets)
+    docs = _t(spark, sf_dir, "documents")
+    p = (ppl_sql(docs, lang="en")
+         .select("doc_id", F.round("logppl", 5).alias("logppl_r")))
+    scored = docs.select("doc_id", "lang").join(p, "doc_id")
+    out = quantile_buckets(scored, "lang", "logppl_r",
+                           (1.0 / 3.0, 2.0 / 3.0),
+                           ("head", "middle", "tail"),
+                           "doc_id", ascending=True)
+    return out.select("doc_id", "lang", "logppl_r", "bucket")
+
+
+def _dsir_resample_oracle() -> str:
+    from pii_extract_base_spark.functions.dsir import (
+        dsir_select_topk_oracle_sql)
+    return dsir_select_topk_oracle_sql("lang = 'en'", k=100)
+
+
+def _temperature_mixture_oracle(alpha=0.3, budget_frac=0.5) -> str:
+    """DuckDB replay of q99: same count→pow→normalize→rate chain with
+    the identical operation ORDER (so doubles stay bit-comparable
+    before the 6-dp round), same md5 acceptance kernel. N casts to
+    BIGINT (DuckDB sum(BIGINT) is HUGEINT; Spark's stays long)."""
+    from pii_extract_base_spark.functions.hashing import md5_mod_sql
+    b = md5_mod_sql("coalesce(doc_id::VARCHAR, '')", 10000)
+    return f"""
+        WITH n AS (
+            SELECT lang, count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(n_docs)::BIGINT AS N FROM n),
+        p AS (
+            SELECT lang, n_docs,
+                   pow(n_docs::DOUBLE / N, CAST({alpha!r} AS DOUBLE))
+                     AS pa, N
+            FROM n CROSS JOIN tot
+        ),
+        z AS (SELECT sum(pa) AS Z FROM p),
+        rates AS (
+            SELECT lang,
+                   round(least(1.0,
+                         floor(CAST({budget_frac!r} AS DOUBLE) * N
+                               + 1e-9) * (pa / Z) / n_docs), 6)
+                     AS rate
+            FROM p CROSS JOIN z
+        )
+        SELECT d.doc_id, d.lang, r.rate
+        FROM documents d
+        JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
+        WHERE {b} < floor(r.rate * 10000.0 + 1e-9)
+    """
+
+
+def _ccnet_buckets_oracle() -> str:
+    """q100 replay: the q63 ppl CTE supplies the 5-dp score; the
+    tercile labels replay quantile_cut_scalable's quota rule
+    (max(1, floor(frac·n + 1e-9)) rows under (score ASC, doc_id ASC))
+    as a window rank — the q49 oracle pattern, twice, with the IEEE
+    fraction literals embedded via repr()."""
+    f1, f2 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""
+        WITH p AS ({_ppl_oracle("en")}),
+        scored AS (
+            SELECT d.doc_id, d.lang, p.logppl AS logppl_r
+            FROM documents d JOIN p USING (doc_id)
+        ),
+        q AS (SELECT lang, count(*)::BIGINT AS n
+              FROM scored GROUP BY lang),
+        r AS (
+            SELECT s.doc_id, s.lang, s.logppl_r, q.n,
+                   row_number() OVER (
+                       PARTITION BY s.lang
+                       ORDER BY s.logppl_r ASC, s.doc_id ASC) AS rn
+            FROM scored s JOIN q USING (lang)
+        )
+        SELECT doc_id, lang, logppl_r,
+               CASE WHEN rn <= greatest(1, floor(CAST({f1} AS DOUBLE)
+                                                 * n + 1e-9))
+                    THEN 'head'
+                    WHEN rn <= greatest(1, floor(CAST({f2} AS DOUBLE)
+                                                 * n + 1e-9))
+                    THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    """
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2641,6 +2771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q04_segment_top_customers": q04_segment_top_customers,
         "q18_ivf_topk": q18_ivf_topk,
         "q97_leakage_safe_split": q97_leakage_safe_split,
+        "q98_dsir_resample": q98_dsir_resample,
+        "q99_temperature_mixture": q99_temperature_mixture,
+        "q100_ccnet_ppl_buckets": q100_ccnet_ppl_buckets,
     }
 
 
@@ -3870,6 +4003,9 @@ def oracle_sql() -> dict[str, str]:
         "q82_ivfpq_residual_topk": _ivfpq_res_oracle(),
         "q96_ivfpq_rerank": _ivfpq_rerank_oracle(),
         "q97_leakage_safe_split": _leakage_split_oracle(),
+        "q98_dsir_resample": _dsir_resample_oracle(),
+        "q99_temperature_mixture": _temperature_mixture_oracle(),
+        "q100_ccnet_ppl_buckets": _ccnet_buckets_oracle(),
         "q75_weighted_sample": f"""
             SELECT doc_id,
                    round(least(n_chars::DOUBLE / (2000.0)::DOUBLE,

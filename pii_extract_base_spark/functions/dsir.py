@@ -89,13 +89,55 @@ def dsir_weights(df: DataFrame, is_target,
                          .alias("dsir_logratio")))
 
 
+def dsir_select_topk(df: DataFrame, is_target, k: int,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 §2: importance
+    resampling without replacement) that ``dsir_weights``' docstring
+    promises: sample ``k`` documents with probability proportional to
+    exp(dsir_logratio) via the Gumbel-top-k identity (Vieira 2014;
+    Kool et al. 2019, arXiv:1903.06059) — ``argtop_k(w_i + G_i)`` with
+    i.i.d. Gumbel noise G is an exact sample-without-replacement from
+    softmax(w).
+
+    The Gumbel draw must be deterministic and engine-replayable, so
+    the uniform comes from the shared md5 kernel rather than rand():
+    ``u = (md5_mod(id, 10^8) + 0.5) / 10^8`` ∈ (0,1) exactly on both
+    engines (integer + exact dyadic arithmetic), and
+    ``G = −ln(−ln u)``. The selection key rounds to 6 dp (the repo
+    float contract: libm ln may differ in the last bit cross-engine;
+    6-dp rounding with the id tiebreak absorbs it) and the top-k is
+    a total order (key desc, id asc).
+
+    Plan shape: dsir_weights' two hash aggregates + the vocabulary
+    re-join, then ONE TakeOrderedAndProject — per-partition top-k
+    heaps merged on the driver, never a global sort. k rows of driver
+    state; corpus order/partitioning irrelevant.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from .hashing import md5_mod
+    U = 100_000_000
+    w = dsir_weights(df, is_target, text_col=text_col, id_col=id_col)
+    u = ((md5_mod(F.col(id_col).cast("string"), U) + F.lit(0.5))
+         / F.lit(float(U)))
+    key = F.round(F.col("dsir_logratio") - F.log(-F.log(u)), 6)
+    return (w.withColumn("gumbel_key", key)
+             .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+             .limit(int(k)))
+
+
 def dsir_oracle_sql(target_pred_sql: str,
                     table: str = "documents",
                     text_col: str = "text",
-                    id_col: str = "doc_id") -> str:
+                    id_col: str = "doc_id",
+                    final_select: str = None) -> str:
     """DuckDB replay of dsir_weights: same add-one estimator, same
     9-dp per-word / 5-dp per-doc rounding.  ``target_pred_sql`` is a
-    boolean SQL expression over the table's columns."""
+    boolean SQL expression over the table's columns.
+    ``final_select`` overrides the trailing SELECT; it may reference
+    the ``dsir`` CTE (the default output relation) — used by the
+    resampling replay (q98)."""
     words = (f"list_filter(string_split_regex(coalesce({text_col},''), "
              f"'\\s+'), w -> w <> '')")
     return f"""
@@ -122,9 +164,32 @@ per_doc AS (
     SELECT occ.{id_col}, count(*) AS n_words, round(avg(lr.lr), 5) AS w
     FROM occ JOIN lr USING (word)
     GROUP BY occ.{id_col}
+),
+dsir AS (
+    SELECT d.{id_col},
+           coalesce(p.n_words, 0) AS n_words,
+           coalesce(p.w, 0.0) AS dsir_logratio
+    FROM {table} d LEFT JOIN per_doc p USING ({id_col})
 )
-SELECT d.{id_col},
-       coalesce(p.n_words, 0) AS n_words,
-       coalesce(p.w, 0.0) AS dsir_logratio
-FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+{final_select or f"SELECT * FROM dsir"}
 """
+
+
+def dsir_select_topk_oracle_sql(target_pred_sql: str, k: int,
+                                table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    """DuckDB replay of dsir_select_topk: the dsir CTEs plus the same
+    md5-uniform Gumbel key (6-dp rounded) and total-order LIMIT k."""
+    from .hashing import md5_mod_sql
+    b = md5_mod_sql(f"{id_col}::VARCHAR", 100_000_000)
+    key = (f"round(dsir_logratio - ln(-ln(({b} + 0.5) / 100000000.0)),"
+           f" 6)")
+    final = f"""SELECT {id_col}, n_words, dsir_logratio,
+       {key} AS gumbel_key
+FROM dsir
+ORDER BY gumbel_key DESC, {id_col} ASC
+LIMIT {int(k)}"""
+    return dsir_oracle_sql(target_pred_sql, table=table,
+                           text_col=text_col, id_col=id_col,
+                           final_select=final)

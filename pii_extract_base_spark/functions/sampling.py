@@ -432,6 +432,120 @@ def weighted_sample(df: DataFrame, key_col: str,
     return df.where(u < w)
 
 
+def temperature_rates(df: DataFrame, strata_col: str,
+                      alpha: float = 0.3,
+                      budget_frac: float = 0.5) -> DataFrame:
+    """Per-stratum keep rates for TEMPERATURE-SCALED mixture sampling
+    (the multilingual-LM standard: mBERT/XLM-R/mT5 sample language l
+    with probability ∝ p_l^α, α≈0.3 — up-weights tail languages,
+    tempers the head; Conneau & Lample 2019, arXiv:1901.07291 §3.1).
+
+    Given corpus shares p_l = n_l / N, the target mixture is
+    q_l = p_l^α / Σ_m p_m^α and the keep rate for a total budget of
+    B = floor(budget_frac · N + 1e-9) docs is
+    ``rate_l = min(1, B · q_l / n_l)`` rounded to 6 dp (pow/ln are
+    libm-evaluated; the rounding is the repo float contract that
+    absorbs last-bit cross-engine drift). Head strata may rate-limit
+    at 1.0, making the realized total slightly under B — the standard
+    behavior (you cannot up-sample without replacement).
+
+    Plan shape: ONE map-combined count aggregate over the corpus, then
+    two 1-row cross joins (total N, normalizer Z) over the tiny
+    per-stratum relation — no driver round-trip, no second corpus
+    scan. Returns (strata_col, n_docs, rate)."""
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac out of (0,1]: {budget_frac}")
+    if alpha <= 0.0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    n = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    tot = n.agg(F.sum("n_docs").alias("_N"))
+    p = (n.crossJoin(F.broadcast(tot))
+          .withColumn("_pa", F.pow(F.col("n_docs")
+                                   / F.col("_N"), F.lit(alpha))))
+    z = p.agg(F.sum("_pa").alias("_Z"))
+    budget = F.floor(F.lit(float(budget_frac)) * F.col("_N")
+                     + F.lit(1e-9))
+    rate = F.round(
+        F.least(F.lit(1.0),
+                budget * (F.col("_pa") / F.col("_Z"))
+                / F.col("n_docs")), 6)
+    return (p.crossJoin(F.broadcast(z))
+             .select(strata_col, "n_docs", rate.alias("rate")))
+
+
+def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
+                       alpha: float = 0.3,
+                       budget_frac: float = 0.5,
+                       rate_alias: str = None) -> DataFrame:
+    """Execute the temperature mixture: keep each row of stratum l
+    with probability rate_l from ``temperature_rates`` via the shared
+    md5 acceptance kernel — deterministic in ``key_col``, resume-
+    stable, engine-replayable (`bucket < floor(rate·10000 + 1e-9)`;
+    the 1e-9 guards IEEE representation of the 6-dp rate, same rule
+    as mixture_quotas). The per-stratum rate relation is tiny (one
+    row per language) and broadcasts; NULL strata join null-safely
+    and sample at their own rate. ``rate_alias`` exposes the applied
+    rate column for audits / the correctness oracle."""
+    rates = (temperature_rates(df, strata_col, alpha, budget_frac)
+             .withColumnRenamed(strata_col, "_s0").drop("n_docs"))
+    joined = (df.join(F.broadcast(rates),
+                      F.col(strata_col).eqNullSafe(F.col("_s0")))
+                .drop("_s0"))
+    thr = F.floor(F.col("rate") * F.lit(float(BUCKETS)) + F.lit(1e-9))
+    out = joined.where(hash_bucket(key_col) < thr)
+    if rate_alias:
+        return out.withColumnRenamed("rate", rate_alias)
+    return out.drop("rate")
+
+
+def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
+                     fracs, labels, tiebreak_col: str,
+                     ascending: bool = True,
+                     bucket_col: str = "bucket") -> DataFrame:
+    """Label every row with its per-stratum score bucket — the CCNet
+    layout (Wenzek et al. 2020, arXiv:1911.00359 §4.3: per-language
+    HEAD/MIDDLE/TAIL by perplexity terciles, head = lowest ppl).
+
+    ``fracs`` are strictly increasing cumulative cut points (e.g.
+    (1/3, 2/3)) and ``labels`` has len(fracs)+1 entries: rows ranked
+    within fracs[0] of their stratum get labels[0], within fracs[1]
+    labels[1], …, the remainder labels[-1]. Each cut reuses
+    ``quantile_cut_scalable`` — the kept sets are NESTED by
+    construction (each is the top-quota prefix of the same total
+    order: score asc/desc, tiebreak asc), so membership tests compose
+    into one label expression. Same quota rule as that cut
+    (max(1, floor(frac·n + 1e-9)) rows per stratum).
+
+    NULL scores are not rankable: they take labels[-1] (stated so the
+    oracle agrees). Plan shape: one corpus scan + two-phase histogram
+    per cut, then len(fracs) hash joins on the UNIQUE ``tiebreak_col``
+    — no broadcast of corpus-sized sets, no per-stratum global sort
+    anywhere."""
+    fl = list(fracs)
+    if len(labels) != len(fl) + 1:
+        raise ValueError("need len(fracs)+1 labels, got "
+                         f"{len(labels)} for {len(fl)} fracs")
+    if any(b <= a for a, b in zip(fl, fl[1:])):
+        raise ValueError(f"fracs must be strictly increasing: {fl}")
+    out = df
+    flags = []
+    for i, fr in enumerate(fl):
+        kept = quantile_cut_scalable(df, strata_col, score_col, fr,
+                                     tiebreak_col, ascending=ascending)
+        flag = f"_qb{i}"
+        flags.append(flag)
+        out = out.join(kept.select(F.col(tiebreak_col),
+                                   F.lit(True).alias(flag)),
+                       tiebreak_col, "left")
+    expr = None
+    for flag, label in zip(flags, labels):
+        cond = F.coalesce(F.col(flag), F.lit(False))
+        expr = (F.when(cond, label) if expr is None
+                else expr.when(cond, label))
+    expr = expr.otherwise(labels[-1])
+    return out.withColumn(bucket_col, expr).drop(*flags)
+
+
 def split_thresholds(fracs) -> list:
     """Cumulative md5-bucket thresholds over [0, 65536) for the given
     (name, fraction) list — shared by `leakage_safe_split` and its

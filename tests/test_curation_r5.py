@@ -110,6 +110,43 @@ def test_dsir_weight_matches_hand_computation(spark):
     assert out[1] == pytest.approx(w1, abs=1e-9)
 
 
+def test_dsir_select_topk_is_gumbel_topk(spark):
+    """The resampling half: the selected set must equal the Python
+    replay of the Gumbel-top-k rule — key = round(w − ln(−ln u), 6)
+    with u = (md5_mod(id, 10^8)+0.5)/10^8, top k by (key desc, id
+    asc)."""
+    import hashlib
+    from pii_extract_base_spark.functions.dsir import (
+        dsir_select_topk, dsir_weights)
+    rows = [(i,
+             ("alpha beta gamma " * (1 + i % 3)
+              if i % 4 else "delta epsilon zeta "),
+             i % 5 == 0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, tgt boolean")
+    k = 10
+    got = dsir_select_topk(df, F.col("tgt"), k=k).collect()
+    assert len(got) == k
+    # replay: weights from the verified dsir_weights, Gumbel in Python
+    w = {r["doc_id"]: r["dsir_logratio"]
+         for r in dsir_weights(df, F.col("tgt")).collect()}
+
+    def key(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) \
+            % 100_000_000
+        u = (b + 0.5) / 1e8
+        return round(w[i] - math.log(-math.log(u)), 6)
+
+    want = sorted(w, key=lambda i: (-key(i), i))[:k]
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert r["gumbel_key"] == pytest.approx(key(r["doc_id"]),
+                                                abs=1e-9)
+    with pytest.raises(ValueError):
+        dsir_select_topk(df, F.col("tgt"), k=0)
+
+
 # ---------------------------------------------------------------- scripts
 
 def test_script_profile_counts_and_dominance(spark):

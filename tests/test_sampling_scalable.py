@@ -278,3 +278,140 @@ def test_leakage_safe_split_no_straddle(spark):
         split_thresholds(())
     with pytest.raises(ValueError):
         split_thresholds((("a", 1.2), ("b", -0.2)))
+
+
+# ---------------------------------------------------------------------------
+# temperature_sample (r5: temperature-scaled language mixture)
+
+def test_temperature_rates_match_hand_formula(spark):
+    """rate_l = round(min(1, floor(bf·N+1e-9) · q_l / n_l), 6) with
+    q_l = p_l^α / Σ p^α — replayed in plain Python on known counts."""
+    from pii_extract_base_spark.functions.sampling import (
+        temperature_rates)
+    counts = {"en": 800, "de": 150, "sw": 50}
+    rows = [(f"{lang}{i}", lang)
+            for lang, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    got = {r["lang"]: (r["n_docs"], r["rate"])
+           for r in temperature_rates(df, "lang", alpha=0.3,
+                                      budget_frac=0.5).collect()}
+    N = sum(counts.values())
+    pa = {l: (n / N) ** 0.3 for l, n in counts.items()}
+    Z = sum(pa.values())
+    B = math.floor(0.5 * N + 1e-9)
+    for lang, n in counts.items():
+        want = round(min(1.0, B * (pa[lang] / Z) / n), 6)
+        assert got[lang] == (n, pytest.approx(want, abs=1e-9)), lang
+
+
+def test_temperature_sample_tempers_the_head(spark):
+    """α < 1 must up-weight tail languages: the keep RATE ordering is
+    the reverse of the size ordering, the kept set is deterministic
+    (same rows on a re-run), and every kept row satisfies the md5
+    acceptance inequality."""
+    from pii_extract_base_spark.functions.sampling import (
+        temperature_sample, BUCKETS)
+    rows = ([(i, "en") for i in range(2000)]
+            + [(10_000 + i, "de") for i in range(300)]
+            + [(20_000 + i, "sw") for i in range(60)]
+            + [(30_000 + i, None) for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(df, "lang", "doc_id", alpha=0.3,
+                             budget_frac=0.3, rate_alias="rate")
+    kept = out.collect()
+    rate = {r["lang"]: r["rate"] for r in kept}
+    # tail >= head in keep rate, strictly where no 1.0 rate-cap binds
+    # (tiny strata saturate at 1.0 — you cannot up-sample without
+    # replacement); NULL strata sample at their own rate
+    assert rate["sw"] == 1.0            # tiny stratum kept whole
+    assert rate["sw"] > rate["de"] > rate["en"]
+    assert rate[None] > rate["en"]
+    # md5 inequality holds row by row
+    for r in kept:
+        b = int(_md5(str(r["doc_id"]))[:8], 16) % BUCKETS
+        assert b < math.floor(r["rate"] * BUCKETS + 1e-9)
+    # deterministic: identical kept set on a fresh plan
+    again = {r["doc_id"] for r in
+             temperature_sample(df, "lang", "doc_id", alpha=0.3,
+                                budget_frac=0.3).collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # realized total lands near (never above by much) the budget: each
+    # stratum keeps ~rate·n with md5-uniform noise
+    assert len(kept) <= 0.33 * len(rows)
+
+
+def test_temperature_sample_validates(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        temperature_rates)
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        temperature_rates(df, "lang", alpha=0.3, budget_frac=0.0)
+    with pytest.raises(ValueError):
+        temperature_rates(df, "lang", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# quantile_buckets (r5: CCNet head/middle/tail layout)
+
+def _naive_buckets(rows, fracs, labels):
+    """Per stratum: rank by (score asc, id asc); label by the same
+    max(1, floor(frac·n + 1e-9)) cumulative quotas the cut uses."""
+    from collections import defaultdict
+    by_s = defaultdict(list)
+    for rid, s, score in rows:
+        by_s[s].append((score, rid))
+    want = {}
+    for s, members in by_s.items():
+        members.sort()
+        quotas = [max(1, math.floor(f * len(members) + 1e-9))
+                  for f in fracs]
+        for rank, (_, rid) in enumerate(members, start=1):
+            lab = labels[-1]
+            for q, l in zip(quotas, labels):
+                if rank <= q:
+                    lab = l
+                    break
+            want[rid] = lab
+    return want
+
+
+def test_quantile_buckets_match_naive_rank(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_buckets)
+    rows = [(i, f"l{i % 3}", float((i * 37) % 101)) for i in range(400)]
+    rows += [(1000, "solo", 5.0)]          # n=1 stratum
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    out = quantile_buckets(df, "g", "s", (1.0 / 3.0, 2.0 / 3.0),
+                           ("head", "middle", "tail"), "doc_id",
+                           ascending=True)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert got == _naive_buckets(rows, (1.0 / 3.0, 2.0 / 3.0),
+                                 ("head", "middle", "tail"))
+    # n=1 stratum: the single row is head (quota max(1,·) = 1)
+    assert got[1000] == "head"
+
+
+def test_quantile_buckets_null_scores_take_last_label(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_buckets)
+    rows = [(1, "en", 1.0), (2, "en", 2.0), (3, "en", 3.0),
+            (4, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+    out = quantile_buckets(df, "g", "s", (1.0 / 3.0, 2.0 / 3.0),
+                           ("head", "middle", "tail"), "doc_id")
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # NULL score is unrankable -> tail; ranked rows quota on n=3
+    assert got == {1: "head", 2: "middle", 3: "tail", 4: "tail"}
+
+
+def test_quantile_buckets_validates(spark):
+    from pii_extract_base_spark.functions.sampling import (
+        quantile_buckets)
+    df = spark.createDataFrame([(1, "en", 1.0)],
+                               "doc_id long, g string, s double")
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "g", "s", (0.5, 0.4), ("a", "b", "c"),
+                         "doc_id")
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "g", "s", (0.5,), ("a", "b", "c"),
+                         "doc_id")
