@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "q93_url_keep_latest",       # r5: keep-latest-crawl URL dedup
     "q94_packed_examples",       # r5: packed-example writer (q89's half)
     "q97_leakage_safe_split",    # r5: group-level train/val/test split
+    "q98_dsir_resample",         # r5: DSIR Gumbel-top-k resampling
+    "q99_temperature_mixture",   # r5: p^alpha language mixture
+    "q100_ccnet_ppl_buckets",    # r5: CCNet head/middle/tail layout
 ]
 
 
