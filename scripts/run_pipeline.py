@@ -86,6 +86,19 @@ def main() -> int:
                          "resume-stable), e.g. en=0.6,fr=0.4")
     ap.add_argument("--mix-budget", type=int, default=None,
                     help="total rows for --mix (required with --mix)")
+    ap.add_argument("--mix-temperature", default=None,
+                    metavar="ALPHA:FRAC",
+                    help="temperature-scaled language mixture AFTER "
+                         "sample/dedup (XLM-R/mT5 standard: keep lang "
+                         "l at rate prop. to p_l^alpha/p_l — rates "
+                         "derived from corpus counts fully in-plan, "
+                         "md5 acceptance, deterministic), e.g. "
+                         "0.3:0.5 = alpha 0.3, 50%% token budget")
+    ap.add_argument("--ccnet-keep", default=None, metavar="LANG=BUCKETS",
+                    help="CCNet head/middle/tail layout under the "
+                         "corpus-fit LANG LM: label per-language ppl "
+                         "terciles, keep the listed buckets, e.g. "
+                         "en=head,middle")
     ap.add_argument("--split", default=None, metavar="NAME=FRAC,...",
                     help="leakage-safe group-level split by url host "
                          "(fractions must sum to 1), e.g. "
@@ -206,6 +219,27 @@ def main() -> int:
         pages = (quantile_cut_scalable(pages, "_all", "dsir_logratio",
                                        float(frac), "url")
                  .drop("_all", "dsir_logratio"))
+    if args.ccnet_keep:
+        pages = _stage(pages)
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+        from pii_extract_base_spark.functions.sampling import (
+            quantile_buckets)
+        lang, buckets = args.ccnet_keep.split("=", 1)
+        keep = [b.strip() for b in buckets.split(",") if b.strip()]
+        bad = set(keep) - {"head", "middle", "tail"}
+        if bad or not keep:
+            ap.error(f"--ccnet-keep buckets must be head/middle/tail, "
+                     f"got {buckets!r}")
+        scored = lm_fit_score(pages, F.col("lang") == lang,
+                              text_col="text", id_col="url")
+        pages = pages.join(scored.select("url", "logppl"), "url")
+        pages = quantile_buckets(pages, "lang", "logppl",
+                                 (1.0 / 3.0, 2.0 / 3.0),
+                                 ("head", "middle", "tail"), "url",
+                                 ascending=True)
+        pages = (pages.where(F.col("bucket").isin(keep))
+                      .drop("bucket", "logppl"))
     if args.mix:
         pages = _stage(pages)
         from pii_extract_base_spark.functions.sampling import (
@@ -214,6 +248,14 @@ def main() -> int:
                   (kv.split("=", 1) for kv in args.mix.split(","))}
         pages = mixture_sample(pages, "lang", "url", shares,
                                budget=args.mix_budget)
+    if args.mix_temperature:
+        pages = _stage(pages)
+        from pii_extract_base_spark.functions.sampling import (
+            temperature_sample)
+        alpha, bf = (float(x) for x in
+                     args.mix_temperature.split(":", 1))
+        pages = temperature_sample(pages, "lang", "url",
+                                   alpha=alpha, budget_frac=bf)
 
     split_counts = {}
     if args.split:

@@ -69,6 +69,34 @@ def test_all_stage_chain_analyzes_and_runs(spark, monkeypatch):
     assert set(summary) >= {"docs", "kept", "entities"}
 
 
+def test_temperature_mix_stage_deterministic(spark, monkeypatch):
+    """--mix-temperature: the p^alpha mixture stage filters (tail
+    languages survive at higher rate than the head) and re-runs to the
+    identical count (md5 acceptance — pure function of url)."""
+    argv = ["run_pipeline", "--sf-dir", SF_DIR, "--limit", "300",
+            "--mix-temperature", "0.3:0.5"]
+    a = _drive(monkeypatch, argv)
+    b = _drive(monkeypatch, argv)
+    assert 0 < a["docs"] < 300
+    assert a["docs"] == b["docs"] and a["kept"] == b["kept"]
+
+
+def test_ccnet_keep_stage_filters_and_reruns_identically(
+        spark, monkeypatch):
+    """--ccnet-keep en=head,middle: per-language ppl terciles under
+    the corpus-fit en LM; keeping 2 of 3 buckets drops roughly a
+    third of every language, and the pick is deterministic."""
+    argv = ["run_pipeline", "--sf-dir", SF_DIR, "--limit", "300",
+            "--ccnet-keep", "en=head,middle"]
+    a = _drive(monkeypatch, argv)
+    b = _drive(monkeypatch, argv)
+    assert 0 < a["docs"] < 300
+    # tercile quotas: keeps ceil-ish 2/3 per language — global share
+    # must sit well inside (1/2, 3/4)
+    assert 0.5 < a["docs"] / 300 < 0.78
+    assert a["docs"] == b["docs"] and a["kept"] == b["kept"]
+
+
 def test_split_stage_is_deterministic_and_leakage_safe(spark,
                                                        monkeypatch):
     """--split: group-level split counts are reported, only the
