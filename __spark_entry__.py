@@ -2640,7 +2640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver window: one representative per family ------------------
         "q20_pipeline_keep_stats": q20_pipeline_keep_stats,
         "q01_pricing_summary": q01_pricing_summary,
-        "q03_nation_revenue": q03_nation_revenue,
+        # r5-final: the four data-selection completions (q97 leakage-
+        # safe split, q98 DSIR resampling, q99 temperature mixture,
+        # q100 CCNet ppl terciles) graded in-window in place of four
+        # multiply-covered rows — q03 (join+agg: q01/q19/q40/q43/q45/
+        # q48 stay in-window), q08 (sessionization: q42 + q78 frames),
+        # q12 (exact dedup: q39's composite pass includes it; q22/q53/
+        # q79/q88 in-window), q14 (brute kNN: q17/q96/q74/q80 keep ANN
+        # covered). All four retirees keep their hash checks via the
+        # judge's out-of-window re-run.
+        "q97_leakage_safe_split": q97_leakage_safe_split,
+        "q98_dsir_resample": q98_dsir_resample,
         # r5-final: q92/q96 swapped INTO the window in place of q04
         # (window-topk family stays covered in-window by q42/q78) and
         # q18 (IVF routing is the first half of q80's graded oracle);
@@ -2653,10 +2663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonicalizes them, but the window only carries outputs
         # whose driver treatment is known-good.
         "q92_tokenizer_eval": q92_tokenizer_eval,
-        "q08_user_sessions": q08_user_sessions,
+        "q99_temperature_mixture": q99_temperature_mixture,
         "q11_quality_rules": q11_quality_rules,
-        "q12_exact_dup_groups": q12_exact_dup_groups,
-        "q14_knn_cosine_top5": q14_knn_cosine_top5,
+        "q100_ccnet_ppl_buckets": q100_ccnet_ppl_buckets,
         "q17_embedding_near_dups": q17_embedding_near_dups,
         "q96_ivfpq_rerank": q96_ivfpq_rerank,
         "q19_rollup_lang_source": q19_rollup_lang_source,
@@ -2770,10 +2779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_bpe_packed_examples": q95_bpe_packed_examples,
         "q04_segment_top_customers": q04_segment_top_customers,
         "q18_ivf_topk": q18_ivf_topk,
-        "q97_leakage_safe_split": q97_leakage_safe_split,
-        "q98_dsir_resample": q98_dsir_resample,
-        "q99_temperature_mixture": q99_temperature_mixture,
-        "q100_ccnet_ppl_buckets": q100_ccnet_ppl_buckets,
+        "q03_nation_revenue": q03_nation_revenue,
+        "q08_user_sessions": q08_user_sessions,
+        "q12_exact_dup_groups": q12_exact_dup_groups,
+        "q14_knn_cosine_top5": q14_knn_cosine_top5,
     }
 
 
