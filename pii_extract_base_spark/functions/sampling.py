@@ -486,16 +486,20 @@ def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
     row per language) and broadcasts; NULL strata join null-safely
     and sample at their own rate. ``rate_alias`` exposes the applied
     rate column for audits / the correctness oracle."""
+    # underscore-prefixed working columns (module convention) so an
+    # input that already carries `rate`/`n_docs` columns never hits an
+    # AMBIGUOUS_REFERENCE after the join
     rates = (temperature_rates(df, strata_col, alpha, budget_frac)
-             .withColumnRenamed(strata_col, "_s0").drop("n_docs"))
+             .withColumnRenamed(strata_col, "_s0")
+             .withColumnRenamed("rate", "_t_rate").drop("n_docs"))
     joined = (df.join(F.broadcast(rates),
                       F.col(strata_col).eqNullSafe(F.col("_s0")))
                 .drop("_s0"))
-    thr = F.floor(F.col("rate") * F.lit(float(BUCKETS)) + F.lit(1e-9))
+    thr = F.floor(F.col("_t_rate") * F.lit(float(BUCKETS)) + F.lit(1e-9))
     out = joined.where(hash_bucket(key_col) < thr)
     if rate_alias:
-        return out.withColumnRenamed("rate", rate_alias)
-    return out.drop("rate")
+        return out.withColumnRenamed("_t_rate", rate_alias)
+    return out.drop("_t_rate")
 
 
 def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
@@ -527,6 +531,11 @@ def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
                          f"{len(labels)} for {len(fl)} fracs")
     if any(b <= a for a, b in zip(fl, fl[1:])):
         raise ValueError(f"fracs must be strictly increasing: {fl}")
+    # materialize the input ONCE: each cut scans it ~3× (extents,
+    # histogram, band join) and each kept set joins back against it,
+    # so an expensive upstream (e.g. the --ccnet-keep LM fit+score
+    # join) would otherwise re-run 6-8× per call
+    df = df.localCheckpoint()
     out = df
     flags = []
     for i, fr in enumerate(fl):

@@ -163,7 +163,12 @@ def kmeans(emb: DataFrame, k: int = 4, iters: int = 2,
     if dim is None:
         raise ValueError("dim is required: centroids are plan literals")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(F.col(id_col), v.alias("v"))
+    # materialize the training relation ONCE (same contract as
+    # lr.logreg_train): the gate count, the init/collect, and every
+    # Lloyd round all consume it, and without the barrier each action
+    # re-runs the caller's upstream subtree (e.g. the PQ posexplode/
+    # slice pipeline) from the scan
+    base = emb.select(F.col(id_col), v.alias("v")).localCheckpoint()
 
     # adaptive: a cheap count gates the driver Lloyd replay (one
     # collect of the gated-small training relation replaces
@@ -230,8 +235,11 @@ def kmeans_grouped(df: DataFrame, groups: List[int], k: int = 4,
         raise ValueError("dim is required: centroids are plan literals")
     from pyspark.sql import Window
 
+    # materialized ONCE for the same reason as `kmeans`: gate count +
+    # collect/init + every shared Lloyd round read it, and the caller's
+    # upstream (PQ subvector slicing) must not re-run per action
     base = df.select(F.col(group_col).alias("g"), F.col(id_col),
-                     F.col(vec_col).alias("v"))
+                     F.col(vec_col).alias("v")).localCheckpoint()
 
     def assign_from(cents):
         # per-group nearest_centroid keeps each CASE branch a

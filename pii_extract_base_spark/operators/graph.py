@@ -31,11 +31,16 @@ from pyspark.sql import DataFrame, functions as F, types as T
 # the driver — the same adaptive-execution move AQE makes when runtime
 # stats show a join side is broadcast-small. Rationale: the candidate
 # EDGE relation is already the output of capped LSH / inverted-index /
-# near-dup stages, so it is orders smaller than the corpus; at two
-# 8-byte columns, 1M edges is ~16 MB on the driver, while
-# star-contraction pays ~8 scheduled jobs per round × O(log² n) rounds
-# of pure overhead at that size. Above the threshold the diameter-
-# independent distributed path below is the only thing that works.
+# near-dup stages, so it is orders smaller than the corpus. Honest
+# driver-heap math: collect() materializes PYTHON Row objects, not
+# packed bytes — ~100-150 B per 2-column row plus the transient
+# union-find dict, so 1M edges is a few hundred MB of driver heap
+# (fine for the multi-GB drivers a 100-TB job runs, transient, freed
+# after the createDataFrame). Size the threshold DOWN via the
+# small_graph_edges parameter on memory-constrained drivers. Above
+# the threshold the diameter-independent distributed path below is
+# the only thing that works; star-contraction pays ~8 scheduled jobs
+# per round × O(log² n) rounds of pure overhead below it.
 SMALL_GRAPH_EDGES = 1_000_000
 
 
@@ -162,7 +167,13 @@ def _round_half_up(x: float, quant) -> float:
     rounds BigDecimal.decimal(d) — the double's SHORTEST round-trip
     decimal representation, which Python's repr() also produces — at
     the target scale with HALF_UP. Python's builtin round() is
-    half-EVEN and would diverge on exact tie digits."""
+    half-EVEN and would diverge on exact tie digits.
+
+    NOT interchangeable with operators/lr._qround (binary-space
+    floor(|x|·10^q+0.5), the DuckDB double-round arithmetic): the two
+    disagree on inputs like 2.675 at dp=2. Use THIS helper wherever
+    the distributed twin rounds with Catalyst F.round (pagerank,
+    Lloyd centroids via operators/cluster)."""
     from decimal import Decimal, ROUND_HALF_UP
     return float(Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP))
 
@@ -185,19 +196,30 @@ def _pagerank_driver(spark, node_type, e_rows,
     import pyspark.sql.types as T
     q = Decimal(1).scaleb(-quant)
     deg: dict = {}
+    has_out = set()
     node_set = set()
     for s, t, w in e_rows:
         node_set.add(s)
         node_set.add(t)
         if s is not None:            # Spark's en USING-join drops them
-            deg[s] = deg.get(s, 0.0) + w
+            # the distributed deg row exists for EVERY non-NULL source
+            # (groupBy keeps all-NULL-weight groups, sum() = NULL), so
+            # has_out is membership, not a weight sum — a source whose
+            # weights are all NULL is NOT dangling there, and its NULL
+            # frac contributes nothing; mirror both.
+            has_out.add(s)
+            if w is not None:        # F.sum skips NULLs
+                deg[s] = deg.get(s, 0.0) + w
     # stable iteration across runs (None-safe: NULL nodes sort first)
     nodes = sorted(node_set, key=lambda x: (x is not None, x))
     # NULL-dst contributions are kept in en but never join back onto a
     # rank row in the distributed plan (null-unsafe equi-join) — mirror
-    # that by skipping them at accumulation time
+    # that by skipping them at accumulation time. NULL weights yield a
+    # NULL frac distributed-side (summed away); skip those too. A 0.0
+    # weight sum raises here (ZeroDivisionError) exactly where the
+    # ANSI-mode distributed Divide raises DIVIDE_BY_ZERO.
     en_rows = [(s, t, w / deg[s]) for s, t, w in e_rows
-               if s is not None and t is not None]
+               if s is not None and t is not None and w is not None]
     n = float(len(nodes))
     tp = 1.0 - damping
     rank = {v: 1.0 / n for v in nodes}
@@ -207,7 +229,7 @@ def _pagerank_driver(spark, node_type, e_rows,
             c[t] = c[t] + rank[s] * frac
         dm = 0.0
         for v in nodes:
-            if v not in deg:
+            if v not in has_out:
                 dm = dm + rank[v]
         rank = {v: _round_half_up(tp / n + damping * (c[v] + dm / n), q)
                 for v in nodes}
@@ -264,8 +286,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                      (F.col(weight) if weight else F.lit(1))
                      .cast("double").alias("w")).localCheckpoint()
     if small_graph_edges and e.count() <= small_graph_edges:
+        # node type must match the DISTRIBUTED path's union-promoted
+        # type (e.g. int src ∪ long dst ⇒ long), not the src column
+        # alone — derive it from the same union plan (analysis only,
+        # no job)
+        node_type = (e.select(F.col("s").alias("node"))
+                      .union(e.select(F.col("t").alias("node")))
+                      .schema["node"].dataType)
         return _pagerank_driver(
-            edges.sparkSession, e.schema["s"].dataType,
+            edges.sparkSession, node_type,
             [(r["s"], r["t"], r["w"]) for r in e.collect()],
             iters, damping, quant)
     nodes = (e.select(F.col("s").alias("node"))

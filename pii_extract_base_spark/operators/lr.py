@@ -34,13 +34,22 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _qround(x: float, q: int) -> float:
-    """Half-away-from-zero rounding — the rule SQL round() uses on
-    BOTH replay engines (verified: DuckDB round(0.125,2)=0.13; Spark
-    ROUND is HALF_UP). Python's built-in round() is banker's
+    """Half-away-from-zero rounding in BINARY double space:
+    sign·floor(|x|·10^q + 0.5)/10^q — the exact arithmetic of
+    DuckDB's double round(). Python's built-in round() is banker's
     (round(0.125,2)=0.12), so using it on the driver would let a
     single exact-midpoint weight update diverge the oracle trajectory
-    permanently. Same arithmetic as DuckDB's double round:
-    sign·floor(|x|·10^q + 0.5)/10^q."""
+    permanently.
+
+    NOT interchangeable with operators/graph._round_half_up: that
+    helper reproduces Catalyst's F.round (HALF_UP over the double's
+    repr()-shortest DECIMAL representation) and the two disagree on
+    inputs like 2.675 at dp=2 (binary scaling gives 2.67, decimal
+    repr gives 2.68). Pick the helper that matches the engine you
+    replay: _qround here because BOTH lr paths run the weight update
+    in driver Python and the oracle is DuckDB; _round_half_up in
+    graph/cluster because their distributed twins round with
+    Catalyst F.round."""
     m = 10.0 ** q
     return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
 
@@ -57,9 +66,14 @@ def _z_col(w: Sequence[float], feature_cols: Sequence[str]):
 # AQE-style move as operators/graph and operators/cluster): at or
 # below this many training rows the 24-round trajectory is replayed
 # on the driver with numpy instead of paying iters sequential
-# scan+agg jobs of scheduling overhead. 1M rows × (k+1) doubles is a
-# ~40 MB collect — comfortably driver-sized; above it the distributed
-# loop (the 1e12-doc path) is unchanged. Pass 0 to force it.
+# scan+agg jobs of scheduling overhead. Honest driver-heap math: the
+# collect materializes Python Rows with boxed floats (~100 B per
+# float plus row overhead), so 1M rows × (k+1) floats is a few
+# hundred MB of transient driver heap, not the ~40 MB the packed
+# bytes suggest — fine on the multi-GB drivers a 100-TB job runs,
+# but size `small_rows` DOWN on memory-constrained drivers. Above
+# the gate the distributed loop (the 1e12-doc path) is unchanged.
+# Pass 0 to force it.
 LR_DRIVER_ROWS = 1_000_000
 
 

@@ -225,6 +225,9 @@ def main() -> int:
         from pii_extract_base_spark.functions.lmtrain import lm_fit_score
         from pii_extract_base_spark.functions.sampling import (
             quantile_buckets)
+        if "=" not in args.ccnet_keep:
+            ap.error(f"--ccnet-keep expects LANG=BUCKETS, got "
+                     f"{args.ccnet_keep!r}")
         lang, buckets = args.ccnet_keep.split("=", 1)
         keep = [b.strip() for b in buckets.split(",") if b.strip()]
         bad = set(keep) - {"head", "middle", "tail"}
@@ -252,8 +255,15 @@ def main() -> int:
         pages = _stage(pages)
         from pii_extract_base_spark.functions.sampling import (
             temperature_sample)
-        alpha, bf = (float(x) for x in
-                     args.mix_temperature.split(":", 1))
+        try:
+            alpha, bf = (float(x) for x in
+                         args.mix_temperature.split(":", 1))
+        except ValueError:
+            ap.error(f"--mix-temperature expects ALPHA:FRAC, got "
+                     f"{args.mix_temperature!r}")
+        if alpha <= 0.0 or not 0.0 < bf <= 1.0:
+            ap.error(f"--mix-temperature needs alpha > 0 and "
+                     f"0 < frac <= 1, got {args.mix_temperature!r}")
         pages = temperature_sample(pages, "lang", "url",
                                    alpha=alpha, budget_frac=bf)
 

@@ -281,6 +281,34 @@ def test_pagerank_paths_identical_values(spark):
     assert fast == slow
 
 
+def test_pagerank_paths_identical_with_null_weights(spark):
+    """NULL edge weights: the distributed plan sums them away (F.sum
+    skips NULLs; a NULL frac contributes nothing, and a source whose
+    weights are ALL NULL still counts as non-dangling via its deg
+    row). The driver replay must mirror that, not crash on None."""
+    edges = [(0, 1, 1.0), (1, 2, None), (1, 3, 2.0), (2, 3, None),
+             (3, 0, 1.0), (4, 0, None)]   # node 2 and 4: only-NULL out
+    fast = _run_pagerank(spark, edges)
+    slow = _run_pagerank(spark, edges, small_graph_edges=0)
+    assert fast == slow
+    assert set(fast) == {0, 1, 2, 3, 4}
+
+
+def test_pagerank_driver_promotes_mixed_src_dst_types(spark):
+    """int src ∪ long dst: the distributed union promotes node to
+    long; the driver replay must emit the SAME schema, not the src
+    column's narrower type."""
+    from pii_extract_base_spark.operators.graph import pagerank
+    df = spark.createDataFrame([(1, 2 ** 40, 1.0), (2, 1, 1.0)],
+                               "src int, dst long, w double")
+    fast = pagerank(df, src="src", dst="dst", weight="w")
+    slow = pagerank(df, src="src", dst="dst", weight="w",
+                    small_graph_edges=0)
+    assert fast.schema == slow.schema
+    assert ({tuple(r) for r in fast.collect()}
+            == {tuple(r) for r in slow.collect()})
+
+
 def test_round_half_up_matches_spark_round(spark):
     """_round_half_up (the driver replay's quantizer) must agree with
     Catalyst's F.round on DoubleType bit-for-bit, including half-digit
