@@ -82,7 +82,10 @@ AUDIT = {
     "q54_repetition_signals": ["Generate", "HashAggregate"],
     # k-means final assignment: pure projection over the scan — the
     # centroids are literals, no shuffle, no Python crossing
-    "q55_kmeans_clusters": ["Project", "Batched: true"],
+    # q55's final assignment reuses the localCheckpointed training
+    # relation (paid once for the Lloyd rounds) instead of re-scanning
+    # parquet — so the audited plan reads an ExistingRDD, by design
+    "q55_kmeans_clusters": ["Project", "Scan ExistingRDD"],
     # ANN recall eval: approx side joins on the bucket key (hash join);
     # the truth side is brute-force BY DEFINITION (ground truth over a
     # 20-query sample, broadcast), so BNLJ is expected there
