@@ -866,9 +866,16 @@ def line_dedup_corpus(df: DataFrame, text_col: str = "text",
     Returns one row per input doc:
     (id_col, n_lines, n_removed, clean_text).
     """
+    # NULL text behaves as '' (one empty line: whitespace-only, so
+    # never counted and never removed) — WITHOUT the coalesce,
+    # split(NULL) -> NULL -> posexplode emits nothing and the doc
+    # would vanish from the output, breaking the one-row-per-input-doc
+    # contract (and silently deleting NULL-text pages through
+    # run_pipeline --dedup-lines' rewrite join)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                             "\n", -1))
          .alias("pos", "line"))
     h = F.md5(F.trim(F.col("line")))
     freq = (lines.where(F.trim(F.col("line")) != "")
@@ -931,8 +938,14 @@ def quality_retention(docs: DataFrame, clusters: DataFrame,
                                          F.col(id_col).cast(ctype)))
                   .localCheckpoint(eager=False))
     best_q = full.groupBy("cluster").agg(F.max("_q").alias("_bq"))
+    # null-safe winner test: a cluster whose docs ALL have NULL
+    # quality has _bq = NULL (F.max skips NULLs), and a plain == would
+    # elect no winner — silently deleting the whole cluster from the
+    # output. eqNullSafe makes every all-NULL doc tie and the min-id
+    # tie-break resolves it; in PARTIAL-NULL clusters NULL-quality
+    # docs still can't win (NULL <=> non-NULL is false).
     winners = (full.join(best_q, "cluster")
-                   .where(F.col("_q") == F.col("_bq"))
+                   .where(F.col("_q").eqNullSafe(F.col("_bq")))
                    .groupBy("cluster")
                    .agg(F.min(id_col).alias("_keep")))
     return (full.join(winners, "cluster")

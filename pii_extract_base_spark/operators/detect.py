@@ -296,8 +296,10 @@ def detect_chunked(df, languages: Tuple[str, ...],
     # reassembly subtree; without a materialization barrier Catalyst
     # re-plans (and re-RUNS) the Arrow detect UDF — the most expensive
     # stage in the engine — once per consumer (r4 judge: 3 copies in
-    # the q77 plan). One localCheckpoint runs it exactly once.
-    res = res.localCheckpoint()
+    # the q77 plan). One localCheckpoint runs it exactly once; LAZY so
+    # merely composing/explaining the plan doesn't fire a corpus-wide
+    # detect job (it materializes inside the first real action).
+    res = res.localCheckpoint(eager=False)
 
     ent = (res.select(id_col, "chunk", F.explode("entities").alias("e"))
               .select(id_col, "chunk", "e.*"))

@@ -66,7 +66,8 @@ def distributed_prefix_sum(df: DataFrame, val_col: str,
     reuse all recompute the same ``_pid``.
 
     Boundary-sampling cost: one count + one bounded sample-collect job
-    (≤ ~20 values per bucket) before the main scan.  Bucket lookup is
+    (≤ ~20 values per bucket) + one map-side-combined totals aggregate
+    (≤ n_buckets result rows) before the main scan; nothing is cached.  Bucket lookup is
     a ``filter`` over the literal boundary array — O(#buckets)
     comparisons per row, which for the ≤ O(10³) buckets a 100-TB scan
     wants is noise next to the per-bucket window sort.  Ties on the
@@ -100,26 +101,31 @@ def distributed_prefix_sum(df: DataFrame, val_col: str,
         pid = F.size(F.filter(barr, lambda b: b <= F.col(key)))
     else:
         pid = F.lit(0)
-    # persist (NOT localCheckpoint): purely a performance cache so the
-    # two consumers below evaluate the input once — a lost block
-    # recomputes through lineage to the IDENTICAL _pid (pure function
-    # of the row), so unlike the old checkpoint this is never
-    # correctness-load-bearing and survives executor loss.
-    part = df.withColumn("_pid", pid).persist()
+    part = df.withColumn("_pid", pid)
 
     local_w = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = part.withColumn("_local_cum", F.sum(val_col).over(local_w))
 
-    # per-partition totals: one row per partition, scanned globally
-    # (single-partition window over ~thousands of rows is fine)
-    totals = part.groupBy("_pid").agg(F.sum(val_col).alias("_ptotal"))
-    off_w = (Window.orderBy("_pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = totals.select(
-        "_pid",
-        F.coalesce(F.sum("_ptotal").over(off_w),
-                   F.lit(0).cast("long")).alias("_offset"))
+    # per-partition offsets as DRIVER LITERALS (≤ n_buckets rows from
+    # one map-side-combined aggregate), exactly like the boundary
+    # literals above: retry/AQE-stable by construction, and nothing is
+    # persisted — the old `.persist()` here lived in the CacheManager
+    # until session end, accumulating cached corpus relations across
+    # chained-pipeline / rehearsal calls. The input is now scanned
+    # twice (bounded totals aggregate + the window pass) instead of
+    # once-plus-cache-write; _pid is a pure function of the row, so
+    # both scans agree.
+    trows = sorted(
+        (r["_pid"], r["_ptotal"] or 0)
+        for r in part.groupBy("_pid")
+                     .agg(F.sum(val_col).alias("_ptotal")).collect())
+    acc = 0
+    orows = []
+    for pid_v, ptot in trows:
+        orows.append((pid_v, acc))
+        acc += int(ptot)
+    offsets = spark.createDataFrame(orows, "_pid int, _offset long")
 
     return (local.join(F.broadcast(offsets), "_pid")
                  .withColumn(out_col,

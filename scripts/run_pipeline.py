@@ -133,6 +133,24 @@ def main() -> int:
     if args.limit is not None:
         pages = pages.limit(args.limit)
 
+    # --from-html backfill must run BEFORE the curation stages: the
+    # text-rewriting stages (--dedup-spans/--dedup-lines) coalesce
+    # NULL text to '', which would defeat QualityPipeline's
+    # NULL-only backfill predicate and process html-only pages with
+    # empty text (or, pre-fix, drop them outright). Backfilling here
+    # is the identical coalesce the pipeline applies (pipeline.py),
+    # so single-stage results are unchanged — curation stages simply
+    # see the recovered text too, which is what dedup/ppl selection
+    # should operate on.
+    if args.from_html and "html" in pages.columns:
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.functions.htmlextract import (
+            html_to_text)
+        pages = pages.withColumn(
+            "text",
+            F.coalesce(F.col("text"),
+                       html_to_text(F.decode(F.col("html"), "UTF-8"))))
+
     # curation stages (each deterministic -> identical on resume/retry).
     # Every stage references `pages` SEVERAL times internally (self-
     # joins, fit-then-score, rewrite-joins), so chaining stages grows

@@ -244,6 +244,20 @@ def test_line_dedup_removes_corpus_frequent_lines(spark):
     assert out[4]["clean_text"] == "solo line"
 
 
+def test_line_dedup_null_text_doc_survives(spark):
+    """NULL text keeps its row (contract: one row per input doc) —
+    split(NULL) must not posexplode the document away, or the
+    --dedup-lines rewrite join silently deletes NULL-text pages."""
+    from pii_extract_base_spark.operators.dedup import line_dedup_corpus
+    rows = [(1, "BANNER\nkeep me"), (2, "BANNER\nother"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_corpus(df).collect()}
+    assert set(out) == {1, 2, 3}
+    # NULL behaves as '': one whitespace-only line, never removed
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_lines"] == 1 and out[3]["n_removed"] == 0
+
+
 def test_line_dedup_min_docs_threshold(spark):
     from pii_extract_base_spark.operators.dedup import line_dedup_corpus
     rows = [(1, "twice\nonce a"), (2, "twice\nonce b"),
@@ -425,6 +439,25 @@ def test_quality_retention_keeps_best_not_lowest_id(spark):
     assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
     # cluster 10: tie on quality -> lowest id wins
     assert out[10]["kept"] and not out[11]["kept"]
+
+
+def test_quality_retention_null_quality_clusters_not_dropped(spark):
+    """A cluster whose docs ALL have NULL quality still elects a
+    winner (min id) instead of vanishing from the output; in a
+    partial-NULL cluster, NULL-quality docs can't win."""
+    from pii_extract_base_spark.operators.dedup import quality_retention
+    docs = spark.createDataFrame(
+        [(1, None), (2, None),          # all-NULL cluster
+         (10, None), (11, 5)],          # partial-NULL cluster
+        "doc_id long, q long")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster long")
+    out = {r["doc_id"]: r for r in quality_retention(
+        docs, clusters, F.col("q")).collect()}
+    assert set(out) == {1, 2, 10, 11}   # one row per doc, none dropped
+    assert out[1]["kept"] and not out[2]["kept"]      # min-id tie-break
+    assert out[11]["kept"] and not out[10]["kept"]    # NULL can't win
 
 
 def test_quality_retention_singletons_keep_themselves(spark):
