@@ -1488,7 +1488,8 @@ def q74_pq_adc_topk(spark, sf_dir):
     memory-bandwidth profile that makes PQ the billion-vector
     standard. Completes the ANN family: exact (q14), LSH (q33),
     IVF (q18), PQ-ADC (q74)."""
-    from pii_extract_base_spark.operators.cluster import nearest_centroid
+    from pii_extract_base_spark.operators.cluster import (
+        nearest_centroid, adc_lut_entry)
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).localCheckpoint()
@@ -1502,23 +1503,10 @@ def q74_pq_adc_topk(spark, sf_dir):
         best = nearest_centroid(F.slice(F.col("v"), 16 * s + 1, 16),
                                 cents)
         coded = coded.withColumn(f"c{s}", best["cid"])
-        # driver-side ADC table: ||q_sub - centroid||² per code,
-        # rounded like _sq_dist so the oracle replays the same doubles
-        from pii_extract_base_spark.operators.lr import _qround
+        # driver-side ADC table (shared helper: left-fold + _qround,
+        # same doubles the oracle replays)
         qsub = qrow[16 * s: 16 * (s + 1)]
-        cmap = dict(cents)
-
-        def _fold_sq(cvec):          # left-fold, like _sq_dist
-            d = 0.0
-            for i in range(16):
-                t = qsub[i] - cvec[i]
-                d = d + t * t
-            return _qround(d, 9)     # SQL-round rule, not banker's
-
-        tbl = [_fold_sq(cmap[cid]) if cid in cmap else None
-               for cid in range(4)]
-        lut = F.array(*[F.lit(x) for x in tbl])
-        dist_cols.append(F.element_at(lut, F.col(f"c{s}") + 1))
+        dist_cols.append(adc_lut_entry(qsub, cents, F.col(f"c{s}"), 4))
     adc = F.round(sum(dist_cols[1:], dist_cols[0]), 6)
     # a code pointing at an EMPTY k-means cluster (no centroid) yields a
     # NULL LUT entry → NULL adc; drop those rows explicitly so both
@@ -1565,8 +1553,8 @@ def _ivfpq_scan(spark, sf_dir, limit):
     """q80's composed IVF-route + ADC-score scan, top-``limit`` by
     (adc_dist, vec_id); returns (DataFrame, query_vector) so the q96
     re-rank stage can reuse the same candidate generator."""
-    from pii_extract_base_spark.operators.cluster import nearest_centroid
-    from pii_extract_base_spark.operators.lr import _qround
+    from pii_extract_base_spark.operators.cluster import (
+        nearest_centroid, adc_lut_entry)
     from pii_extract_base_spark.operators.similarity import _dot, _norm
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1583,19 +1571,7 @@ def _ivfpq_scan(spark, sf_dir, limit):
                                 cents)
         coded = coded.withColumn(f"c{s}", best["cid"])
         qsub = qrow[16 * s: 16 * (s + 1)]
-        cmap = dict(cents)
-
-        def _fold_sq(cvec):          # left-fold, like _sq_dist
-            d = 0.0
-            for i in range(16):
-                t = qsub[i] - cvec[i]
-                d = d + t * t
-            return _qround(d, 9)
-
-        tbl = [_fold_sq(cmap[cid]) if cid in cmap else None
-               for cid in range(4)]
-        lut = F.array(*[F.lit(x) for x in tbl])
-        dist_cols.append(F.element_at(lut, F.col(f"c{s}") + 1))
+        dist_cols.append(adc_lut_entry(qsub, cents, F.col(f"c{s}"), 4))
     adc = F.round(sum(dist_cols[1:], dist_cols[0]), 6)
 
     # -- IVF half (q18): stride-25 coarse centroids, cosine routing
@@ -1765,8 +1741,8 @@ def q82_ivfpq_residual_topk(spark, sf_dir):
     shapes; the DuckDB oracle replays coarse assign -> residual table
     -> per-subspace Lloyd chains over residuals -> per-(list, code)
     ADC -> top-10."""
-    from pii_extract_base_spark.operators.cluster import nearest_centroid
-    from pii_extract_base_spark.operators.lr import _qround
+    from pii_extract_base_spark.operators.cluster import (
+        nearest_centroid, adc_lut_entry)
     from pii_extract_base_spark.operators.similarity import _dot, _norm
     emb = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1809,25 +1785,15 @@ def q82_ivfpq_residual_topk(spark, sf_dir):
                   .where(F.col("_rn") <= 3)
                   .select("cent_id", "cv").collect())
 
-    def _fold_sq(qsub, cvec):        # left-fold, like _sq_dist
-        d = 0.0
-        for i in range(16):
-            t = qsub[i] - cvec[i]
-            d = d + t * t
-        return _qround(d, 9)
-
     # per-(probed list, subspace) ADC LUT over the query RESIDUAL
+    # (shared helper per probe; the CASE dispatches on the probed list)
     dist_cols = []
     for s in range(4):
-        cmap = dict(codebooks[s])
         lut_case = None
         for pr in probe_rows:
             q_res = [qrow[i] - pr["cv"][i] for i in range(64)]
             qsub = q_res[16 * s: 16 * (s + 1)]
-            tbl = [_fold_sq(qsub, cmap[cid]) if cid in cmap else None
-                   for cid in range(4)]
-            hit = F.element_at(F.array(*[F.lit(x) for x in tbl]),
-                               F.col(f"c{s}") + 1)
+            hit = adc_lut_entry(qsub, codebooks[s], F.col(f"c{s}"), 4)
             cond = F.col("cent_id") == pr["cent_id"]
             lut_case = (F.when(cond, hit) if lut_case is None
                         else lut_case.when(cond, hit))

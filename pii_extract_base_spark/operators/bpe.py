@@ -168,6 +168,54 @@ def encode_word(word: str, pairs: List[Tuple[str, str]]) -> List[str]:
     return syms
 
 
+def _bpe_arrow_kernel(df: DataFrame, merges, text_col: str,
+                      out_col: str, out_type: str, word_value,
+                      text_fold) -> DataFrame:
+    """Shared Arrow-batched scaffolding for the two production encode
+    paths (count + token-array): merge ranks ride by closure, a
+    BOUNDED per-task word cache stores the IMMUTABLE ``word_value(w,
+    pairs)`` per distinct word (cleared, not evicted, at cache_cap so
+    high-cardinality word populations can't OOM an executor), and
+    ``text_fold(values_iter)`` combines one text's per-word values
+    (NULL text folds the empty iterator). One kernel means a cache-
+    policy or schema-quoting fix can never drift between the paths."""
+    import pandas as pd
+
+    pairs = _merge_pairs(merges)
+    cache_cap = 1_000_000
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields] + [f"`{out_col}` {out_type}"])
+    dtype = "int64" if out_type == "bigint" else "object"
+
+    def run(batches):
+        cache: dict = {}
+
+        def per_text(text):
+            if text is None:
+                return text_fold(())
+
+            def vals():
+                for w in text.split():
+                    v = cache.get(w)
+                    if v is None:
+                        v = word_value(w, pairs)
+                        if len(cache) >= cache_cap:
+                            cache.clear()
+                        cache[w] = v
+                    yield v
+
+            return text_fold(vals())
+
+        for pdf in batches:
+            pdf[out_col] = pd.Series(
+                (per_text(t) for t in pdf[text_col]),
+                index=pdf.index, dtype=dtype)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def bpe_encode_count_arrow(df: DataFrame, merges,
                            text_col: str = "text",
                            out_col: str = "n_bpe_tokens") -> DataFrame:
@@ -192,39 +240,9 @@ def bpe_encode_count_arrow(df: DataFrame, merges,
     are identical to `bpe_encode_count` — asserted by the parity test
     on adjacent-merged-pair inputs ('aaaa', 'banana', 'ababab') — so
     either path satisfies the same oracle."""
-    import pandas as pd
-
-    pairs = _merge_pairs(merges)
-    cache_cap = 1_000_000
-    fields = [f for f in df.schema.fields]
-    out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
-        + [f"`{out_col}` bigint"])
-
-    def run(batches):
-        cache: dict = {}
-
-        def count_text(text):
-            if text is None:
-                return 0
-            total = 0
-            for w in text.split():
-                c = cache.get(w)
-                if c is None:
-                    c = len(encode_word(w, pairs))
-                    if len(cache) >= cache_cap:
-                        cache.clear()
-                    cache[w] = c
-                total += c
-            return total
-
-        for pdf in batches:
-            pdf[out_col] = pd.Series(
-                (count_text(t) for t in pdf[text_col]),
-                index=pdf.index, dtype="int64")
-            yield pdf
-
-    return df.mapInPandas(run, schema=out_schema)
+    return _bpe_arrow_kernel(
+        df, merges, text_col, out_col, "bigint",
+        lambda w, p: len(encode_word(w, p)), sum)
 
 
 def bpe_encode_arrow(df: DataFrame, merges, text_col: str = "text",
@@ -240,39 +258,10 @@ def bpe_encode_arrow(df: DataFrame, merges, text_col: str = "text",
     (operators/sharding materialize_examples tokens_col=...) so the
     packed pre-training examples carry tokenizer tokens, not
     whitespace words."""
-    import pandas as pd
-
-    pairs = _merge_pairs(merges)
-    cache_cap = 1_000_000
-    fields = [f for f in df.schema.fields]
-    out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
-        + [f"`{out_col}` array<string>"])
-
-    def run(batches):
-        cache: dict = {}
-
-        def encode_text(text):
-            if text is None:
-                return []
-            out: list = []
-            for w in text.split():
-                t = cache.get(w)
-                if t is None:
-                    t = tuple(encode_word(w, pairs))
-                    if len(cache) >= cache_cap:
-                        cache.clear()
-                    cache[w] = t
-                out.extend(t)
-            return out
-
-        for pdf in batches:
-            pdf[out_col] = pd.Series(
-                (encode_text(t) for t in pdf[text_col]),
-                index=pdf.index, dtype="object")
-            yield pdf
-
-    return df.mapInPandas(run, schema=out_schema)
+    return _bpe_arrow_kernel(
+        df, merges, text_col, out_col, "array<string>",
+        lambda w, p: tuple(encode_word(w, p)),
+        lambda vs: [t for v in vs for t in v])
 
 
 def bpe_train_batched(df: DataFrame, text_col: str = "text",

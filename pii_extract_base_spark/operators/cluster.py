@@ -102,6 +102,40 @@ def _sq_dist(vec_col, centroid: List[float]):
     return F.round(d, 9)
 
 
+def adc_lut_entry(q_sub: List[float],
+                  centroids: List[Tuple[int, List[float]]],
+                  code_col, k: int, round_dp: int = 9):
+    """One subspace's ADC lookup (Jégou et al., asymmetric distance):
+    ||q_sub − centroid_cid||² for every code id 0..k-1, rendered as a
+    LITERAL array indexed by the code column — per row the scan does
+    one element_at, never a distance computation.
+
+    The table entries are driver-computed with a LEFT-FOLD squared L2
+    and `operators/lr._qround` (the DuckDB double-round rule), the
+    same fold order and rounding contract as `_sq_dist`, so a SQL
+    oracle replays the identical doubles. A code pointing at an EMPTY
+    k-means cluster (no centroid survived training) yields a NULL
+    entry — callers must drop NULL distances explicitly so both
+    engines agree on the ranked set.
+
+    Shared by the q74/q80/q82/q96 ANN queries and the PQ scale probe;
+    factored here so a rounding/fold-order change can never drift
+    between the four."""
+    from .lr import _qround
+    cmap = dict(centroids)
+
+    def _fold_sq(cvec):
+        d = 0.0
+        for i in range(len(q_sub)):
+            t = q_sub[i] - cvec[i]
+            d = d + t * t
+        return _qround(d, round_dp)
+
+    tbl = [_fold_sq(cmap[cid]) if cid in cmap else None
+           for cid in range(k)]
+    return F.element_at(F.array(*[F.lit(x) for x in tbl]), code_col + 1)
+
+
 def _centroid_lit(centroids: List[Tuple[int, List[float]]]):
     """The codebook as ONE literal array<struct<cid, c:array<double>>>
     column — broadcast state rendered as data, not as unrolled code."""

@@ -80,7 +80,11 @@ def main() -> int:
     qrow = base.where(F.col("vec_id") == 0).collect()[0]["v"]
     # LUT indexed BY cid (Lloyd may drop empty clusters, leaving the
     # id space sparse — positional indexing would misattribute): slots
-    # for vanished ids get a sentinel that no assignment can reference
+    # for vanished ids get a sentinel that no assignment can reference.
+    # NOTE: deliberately NOT operators/cluster.adc_lut_entry (the
+    # oracle-tied helper the q74/q80/q82/q96 queries share): this is a
+    # throughput probe, so it uses a numeric sentinel instead of the
+    # NULL-and-drop contract and plain round() instead of _qround.
     luts = {}
     for g in range(M):
         qsub = qrow[SUB_DIM * g: SUB_DIM * (g + 1)]
