@@ -76,6 +76,22 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(out, *_WS))
 
 
+def backfill_text_from_html(df):
+    """Ingestion backfill shared by QualityPipeline(from_html=True)
+    and `run_pipeline --from-html`: rows whose text IS NULL get the
+    native HTML->text chain over the binary ``html`` column (codegen,
+    no UDF). BACKFILL ONLY — extraction collapses whitespace, and the
+    Gopher line-ratio rules need the source text's line structure, so
+    non-NULL text is never rewritten. No-op when ``html`` is absent.
+    Factored here so the pipeline and the CLI can never drift."""
+    if "html" not in df.columns:
+        return df
+    return df.withColumn(
+        "text",
+        F.coalesce(F.col("text"),
+                   html_to_text(F.decode(F.col("html"), "UTF-8"))))
+
+
 def html_to_text_sql(expr: str) -> str:
     """The SAME chain rendered as DuckDB SQL over ``expr``.
 

@@ -485,7 +485,12 @@ def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
     as mixture_quotas). The per-stratum rate relation is tiny (one
     row per language) and broadcasts; NULL strata join null-safely
     and sample at their own rate. ``rate_alias`` exposes the applied
-    rate column for audits / the correctness oracle."""
+    rate column for audits / the correctness oracle; it must not
+    collide with an existing input column (raises — withColumnRenamed
+    would silently emit a duplicate, ambiguous column)."""
+    if rate_alias and rate_alias in df.columns:
+        raise ValueError(
+            f"rate_alias {rate_alias!r} collides with an input column")
     # underscore-prefixed working columns (module convention) so an
     # input that already carries `rate`/`n_docs` columns never hits an
     # AMBIGUOUS_REFERENCE after the join
@@ -534,8 +539,10 @@ def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
     # materialize the input ONCE: each cut scans it ~3× (extents,
     # histogram, band join) and each kept set joins back against it,
     # so an expensive upstream (e.g. the --ccnet-keep LM fit+score
-    # join) would otherwise re-run 6-8× per call
-    df = df.localCheckpoint()
+    # join) would otherwise re-run 6-8× per call. LAZY, so composing
+    # or explaining the plan fires no job — the first real action
+    # materializes it and the remaining scans hit the checkpoint.
+    df = df.localCheckpoint(eager=False)
     out = df
     flags = []
     for i, fr in enumerate(fl):

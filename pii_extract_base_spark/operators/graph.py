@@ -179,7 +179,8 @@ def _round_half_up(x: float, quant) -> float:
 
 
 def _pagerank_driver(spark, node_type, e_rows,
-                     iters: int, damping: float, quant: int) -> DataFrame:
+                     iters: int, damping: float, quant: int,
+                     ansi: bool = True) -> DataFrame:
     """Driver replay of the distributed loop over the collected raw
     edge relation (s, t, w) — ONE collect replaces the prep phase's
     five scheduled jobs (nodes distinct, deg agg, en join, has_out
@@ -216,10 +217,15 @@ def _pagerank_driver(spark, node_type, e_rows,
     # rank row in the distributed plan (null-unsafe equi-join) — mirror
     # that by skipping them at accumulation time. NULL weights yield a
     # NULL frac distributed-side (summed away); skip those too. A 0.0
-    # weight sum raises here (ZeroDivisionError) exactly where the
-    # ANSI-mode distributed Divide raises DIVIDE_BY_ZERO.
+    # weight sum is SESSION-DEPENDENT distributed-side: under ANSI
+    # (Spark 4 default) Divide raises DIVIDE_BY_ZERO — mirrored here
+    # by ZeroDivisionError — while with spark.sql.ansi.enabled=false
+    # it yields a NULL frac that the contribution sum skips; the
+    # caller passes the session's setting so both paths agree either
+    # way (the zero-sum source stays non-dangling via has_out).
     en_rows = [(s, t, w / deg[s]) for s, t, w in e_rows
-               if s is not None and t is not None and w is not None]
+               if s is not None and t is not None and w is not None
+               and (ansi or deg[s] != 0.0)]
     n = float(len(nodes))
     tp = 1.0 - damping
     rank = {v: 1.0 / n for v in nodes}
@@ -293,10 +299,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         node_type = (e.select(F.col("s").alias("node"))
                       .union(e.select(F.col("t").alias("node")))
                       .schema["node"].dataType)
+        spark = edges.sparkSession
+        ansi = str(spark.conf.get("spark.sql.ansi.enabled",
+                                  "true")).lower() == "true"
         return _pagerank_driver(
-            edges.sparkSession, node_type,
+            spark, node_type,
             [(r["s"], r["t"], r["w"]) for r in e.collect()],
-            iters, damping, quant)
+            iters, damping, quant, ansi=ansi)
     nodes = (e.select(F.col("s").alias("node"))
               .union(e.select(F.col("t").alias("node")))
               .distinct().localCheckpoint())

@@ -116,16 +116,21 @@ def distributed_prefix_sum(df: DataFrame, val_col: str,
     # twice (bounded totals aggregate + the window pass) instead of
     # once-plus-cache-write; _pid is a pure function of the row, so
     # both scans agree.
-    trows = sorted(
-        (r["_pid"], r["_ptotal"] or 0)
-        for r in part.groupBy("_pid")
-                     .agg(F.sum(val_col).alias("_ptotal")).collect())
+    tot_df = (part.groupBy("_pid")
+                  .agg(F.sum(val_col).alias("_ptotal")))
+    # offset type follows F.sum's result type (long for integral
+    # inputs, double/decimal otherwise) — truncating to long would
+    # silently corrupt prefix sums over fractional val_cols
+    sum_type = tot_df.schema["_ptotal"].dataType.simpleString()
+    trows = sorted((r["_pid"], r["_ptotal"] or 0)
+                   for r in tot_df.collect())
     acc = 0
     orows = []
     for pid_v, ptot in trows:
         orows.append((pid_v, acc))
-        acc += int(ptot)
-    offsets = spark.createDataFrame(orows, "_pid int, _offset long")
+        acc = acc + ptot
+    offsets = spark.createDataFrame(orows,
+                                    f"_pid int, _offset {sum_type}")
 
     return (local.join(F.broadcast(offsets), "_pid")
                  .withColumn(out_col,

@@ -65,17 +65,11 @@ class QualityPipeline:
 
     def __call__(self, pages: DataFrame) -> DataFrame:
         df = pages
-        if self.from_html and "html" in df.columns:
-            # ingestion backfill: rows whose text is NULL get the
-            # native HTML->text chain over the binary column
-            # (functions/htmlextract — codegen, no UDF). Backfill
-            # only: extraction collapses whitespace, and the Gopher
-            # line-ratio rules need the source text's line structure.
-            from .functions.htmlextract import html_to_text
-            df = df.withColumn(
-                "text",
-                F.coalesce(F.col("text"),
-                           html_to_text(F.decode(F.col("html"), "UTF-8"))))
+        if self.from_html:
+            # shared ingestion backfill (functions/htmlextract —
+            # codegen, no UDF; NULL-text rows only, see its docstring)
+            from .functions.htmlextract import backfill_text_from_html
+            df = backfill_text_from_html(df)
         if self.salt_partitions:
             df = salted_repartition(df, "url", self.salt_partitions)
 

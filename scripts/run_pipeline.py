@@ -137,19 +137,14 @@ def main() -> int:
     # text-rewriting stages (--dedup-spans/--dedup-lines) coalesce
     # NULL text to '', which would defeat QualityPipeline's
     # NULL-only backfill predicate and process html-only pages with
-    # empty text (or, pre-fix, drop them outright). Backfilling here
-    # is the identical coalesce the pipeline applies (pipeline.py),
-    # so single-stage results are unchanged — curation stages simply
-    # see the recovered text too, which is what dedup/ppl selection
-    # should operate on.
-    if args.from_html and "html" in pages.columns:
-        from pyspark.sql import functions as F
+    # empty text (or, pre-fix, drop them outright). Same shared
+    # helper the pipeline applies, so single-stage results are
+    # unchanged — curation stages simply see the recovered text too,
+    # which is what dedup/ppl selection should operate on.
+    if args.from_html:
         from pii_extract_base_spark.functions.htmlextract import (
-            html_to_text)
-        pages = pages.withColumn(
-            "text",
-            F.coalesce(F.col("text"),
-                       html_to_text(F.decode(F.col("html"), "UTF-8"))))
+            backfill_text_from_html)
+        pages = backfill_text_from_html(pages)
 
     # curation stages (each deterministic -> identical on resume/retry).
     # Every stage references `pages` SEVERAL times internally (self-
@@ -170,6 +165,17 @@ def main() -> int:
         cut = df.localCheckpoint(eager=False) if _staged[0] else df
         _staged[0] = True
         return cut
+
+    def _require_lang_rows(df, lang, flag):
+        # pre-flight for the LM-fitting stages: a language with zero
+        # matching rows would fit an EMPTY bigram LM (vocabulary 0)
+        # and die mid-job with DIVIDE_BY_ZERO under ANSI mode, long
+        # after submission. limit(1).count() terminates on the first
+        # matching row — a cheap early scan that turns a late crash
+        # into a clean usage error naming the bad language.
+        from pyspark.sql import functions as F
+        if df.where(F.col("lang") == lang).limit(1).count() == 0:
+            ap.error(f"{flag}: no input rows with lang={lang!r}")
 
     if args.sample:
         pages = _stage(pages)
@@ -214,6 +220,7 @@ def main() -> int:
         from pii_extract_base_spark.functions.sampling import (
             quantile_cut_scalable)
         lang, frac = args.ppl_cut.split("=", 1)
+        _require_lang_rows(pages, lang, "--ppl-cut")
         scored = lm_fit_score(pages, F.col("lang") == lang,
                               text_col="text", id_col="url")
         # keep the LOWEST perplexity -> cut on the negated score
@@ -230,6 +237,7 @@ def main() -> int:
         from pii_extract_base_spark.functions.sampling import (
             quantile_cut_scalable)
         lang, frac = args.dsir.split("=", 1)
+        _require_lang_rows(pages, lang, "--dsir")
         w = dsir_weights(pages, F.col("lang") == lang,
                          text_col="text", id_col="url")
         pages = (pages.join(w.select("url", "dsir_logratio"), "url")
@@ -252,6 +260,7 @@ def main() -> int:
         if bad or not keep:
             ap.error(f"--ccnet-keep buckets must be head/middle/tail, "
                      f"got {buckets!r}")
+        _require_lang_rows(pages, lang, "--ccnet-keep")
         scored = lm_fit_score(pages, F.col("lang") == lang,
                               text_col="text", id_col="url")
         pages = pages.join(scored.select("url", "logppl"), "url")

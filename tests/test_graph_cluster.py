@@ -294,6 +294,29 @@ def test_pagerank_paths_identical_with_null_weights(spark):
     assert set(fast) == {0, 1, 2, 3, 4}
 
 
+def test_pagerank_zero_weight_sum_paths_agree_both_ansi_modes(spark):
+    """A source whose weights sum to 0.0 is SESSION-DEPENDENT
+    distributed-side: ANSI (Spark 4 default) raises DIVIDE_BY_ZERO,
+    non-ANSI yields NULL fracs (contributions summed away, source
+    stays non-dangling). The driver replay must mirror whichever mode
+    the session runs — crash-vs-result must never depend on the
+    small_graph_edges gate."""
+    edges = [(0, 1, 1.0), (1, 0, 0.0), (1, 2, 0.0), (2, 0, 1.0)]
+    old = spark.conf.get("spark.sql.ansi.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        fast = _run_pagerank(spark, edges)
+        slow = _run_pagerank(spark, edges, small_graph_edges=0)
+        assert fast == slow and set(fast) == {0, 1, 2}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    # ANSI default: BOTH paths raise
+    with pytest.raises(Exception):
+        _run_pagerank(spark, edges)
+    with pytest.raises(Exception):
+        _run_pagerank(spark, edges, small_graph_edges=0)
+
+
 def test_pagerank_driver_promotes_mixed_src_dst_types(spark):
     """int src ∪ long dst: the distributed union promotes node to
     long; the driver replay must emit the SAME schema, not the src
