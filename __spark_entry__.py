@@ -2516,10 +2516,73 @@ def q100_ccnet_ppl_buckets(spark, sf_dir):
     return out.select("doc_id", "lang", "logppl_r", "bucket")
 
 
+def q101_doremi_weights(spark, sf_dir):
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429;
+    `functions/doremi.py` — simplified STATIC-loss variant, deviation
+    documented there): per-source mixture weights from 10
+    exponentiated-gradient rounds on the per-domain mean of a length
+    proxy loss ln(1 + n_words). Plan: ONE map-side-combined corpus
+    aggregate; the rounds run driver-side over the tiny per-domain
+    relation (the adaptive-gate shape — domains are sources, tens not
+    millions) and the oracle replays them as window-normalized
+    unrolled CTEs (the q67 logreg pattern). Completes the
+    data-selection family: fixed shares (q70), DSIR (q84/q98),
+    temperature (q99), CCNet (q100), DoReMi (this)."""
+    from pii_extract_base_spark.functions import textstats as ts
+    from pii_extract_base_spark.functions.doremi import doremi_weights
+    docs = _t(spark, sf_dir, "documents")
+    loss = F.log(F.lit(1.0) + ts.token_count("text").cast("double"))
+    return (doremi_weights(docs, "source", loss, rounds=10,
+                           eta=0.5, smooth=0.01)
+            .orderBy("source"))
+
+
 def _dsir_resample_oracle() -> str:
     from pii_extract_base_spark.functions.dsir import (
         dsir_select_topk_oracle_sql)
     return dsir_select_topk_oracle_sql("lang = 'en'", k=100)
+
+
+def _doremi_oracle(rounds: int = 10, eta: float = 0.5,
+                   smooth: float = 0.01) -> str:
+    """DuckDB replay of q101: identical stats rounding, then the T
+    exponentiated-gradient rounds UNROLLED as window-normalized CTEs
+    (the q67 pattern). (1.0 - smooth) is written as the SQL
+    subtraction so both engines evaluate the identical IEEE
+    expression; per-round round(..., 8) matches the driver's _qround
+    and absorbs normalization-order drift."""
+    ctes = []
+    prev = "r0"
+    for t in range(1, rounds + 1):
+        cur = f"r{t}"
+        ctes.append(
+            f"{cur} AS (SELECT source, n_docs, mean_loss, u, lam, "
+            f"round((1.0 - {smooth}) * (a * exp({eta} * lam)) / "
+            f"sum(a * exp({eta} * lam)) OVER () + {smooth} * u, 8) "
+            f"AS a FROM {prev})")
+        prev = cur
+    chain = ",\n        ".join(ctes)
+    return f"""
+        WITH stats AS MATERIALIZED (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   round(avg(ln(1.0 + len({_DUCK_WORDS})::DOUBLE)), 9)
+                       AS mean_loss
+            FROM documents GROUP BY source
+        ),
+        base AS MATERIALIZED (
+            SELECT source, n_docs, mean_loss,
+                   n_docs::DOUBLE /
+                       (SELECT sum(n_docs)::DOUBLE FROM stats) AS u,
+                   round(mean_loss -
+                         (SELECT min(mean_loss) FROM stats), 9) AS lam
+            FROM stats
+        ),
+        r0 AS (SELECT source, n_docs, mean_loss, u, lam, u AS a
+               FROM base),
+        {chain}
+        SELECT source, n_docs, mean_loss, round(a, 6) AS weight
+        FROM {prev} ORDER BY source
+    """
 
 
 def _temperature_mixture_oracle(alpha=0.3, budget_frac=0.5) -> str:
@@ -2749,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_user_sessions": q08_user_sessions,
         "q12_exact_dup_groups": q12_exact_dup_groups,
         "q14_knn_cosine_top5": q14_knn_cosine_top5,
+        "q101_doremi_weights": q101_doremi_weights,
     }
 
 
@@ -3981,6 +4045,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_dsir_resample": _dsir_resample_oracle(),
         "q99_temperature_mixture": _temperature_mixture_oracle(),
         "q100_ccnet_ppl_buckets": _ccnet_buckets_oracle(),
+        "q101_doremi_weights": _doremi_oracle(),
         "q75_weighted_sample": f"""
             SELECT doc_id,
                    round(least(n_chars::DOUBLE / (2000.0)::DOUBLE,

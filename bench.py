@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q98_dsir_resample",         # r5: DSIR Gumbel-top-k resampling
     "q99_temperature_mixture",   # r5: p^alpha language mixture
     "q100_ccnet_ppl_buckets",    # r5: CCNet head/middle/tail layout
+    "q101_doremi_weights",       # r5: DoReMi domain reweighting
 ]
 
 

@@ -94,6 +94,13 @@ def main() -> int:
                          "derived from corpus counts fully in-plan, "
                          "md5 acceptance, deterministic), e.g. "
                          "0.3:0.5 = alpha 0.3, 50%% token budget")
+    ap.add_argument("--doremi", default=None, metavar="ETA:ROUNDS:FRAC",
+                    help="DoReMi domain reweighting over lang "
+                         "(exponentiated-gradient on per-lang mean "
+                         "logppl under the corpus-fit LM, static-loss "
+                         "variant — functions/doremi), then an md5-"
+                         "acceptance mixture to FRAC of the corpus, "
+                         "e.g. 0.5:10:0.5")
     ap.add_argument("--ccnet-keep", default=None, metavar="LANG=BUCKETS",
                     help="CCNet head/middle/tail layout under the "
                          "corpus-fit LANG LM: label per-language ppl "
@@ -245,6 +252,32 @@ def main() -> int:
         pages = (quantile_cut_scalable(pages, "_all", "dsir_logratio",
                                        float(frac), "url")
                  .drop("_all", "dsir_logratio"))
+    if args.doremi:
+        pages = _stage(pages)
+        from pyspark.sql import functions as F
+        from pii_extract_base_spark.functions.lmtrain import lm_fit_score
+        from pii_extract_base_spark.functions.doremi import (
+            doremi_weights, doremi_sample)
+        try:
+            eta_s, rounds_s, frac_s = args.doremi.split(":")
+            eta, rounds, frac = (float(eta_s), int(rounds_s),
+                                 float(frac_s))
+        except ValueError:
+            ap.error(f"--doremi expects ETA:ROUNDS:FRAC, got "
+                     f"{args.doremi!r}")
+        # one corpus-fit LM pass scores every doc; the scored join is
+        # materialized lazily ONCE and feeds both the per-lang stats
+        # aggregate (inside doremi_weights) and the sampling filter
+        scored = lm_fit_score(pages, F.lit(True), text_col="text",
+                              id_col="url")
+        j = (pages.join(scored.select("url", "logppl"), "url")
+                  .localCheckpoint(eager=False))
+        w = doremi_weights(j, "lang", F.col("logppl"),
+                           rounds=rounds, eta=eta)
+        pages = (doremi_sample(j, "lang", "url",
+                               [tuple(r) for r in w.collect()],
+                               budget_frac=frac)
+                 .drop("logppl"))
     if args.ccnet_keep:
         pages = _stage(pages)
         from pyspark.sql import functions as F

@@ -423,6 +423,85 @@ def test_bigram_lm_target_docs_score_lower(spark):
 
 # ------------------------------------------- quality-aware retention
 
+def test_doremi_weights_math_and_properties(spark):
+    """The static-loss exponentiated-gradient update: weights sum to
+    1, the hardest domain gains weight vs its corpus share, the
+    easiest loses, rounds=0 returns the reference shares, and the
+    driver math matches an independent pure-python replication."""
+    import math
+    from pii_extract_base_spark.functions.doremi import doremi_weights
+    from pii_extract_base_spark.operators.lr import _qround
+    rows = ([("hard", float(i % 7 + 20)) for i in range(100)]
+            + [("mid", float(i % 5 + 5)) for i in range(200)]
+            + [("easy", 1.0 + (i % 3)) for i in range(100)])
+    df = spark.createDataFrame(rows, "source string, loss double")
+    out = {r["source"]: r for r in doremi_weights(
+        df, "source", F.col("loss"), rounds=10, eta=0.5,
+        smooth=0.01).collect()}
+    ws = {k: v["weight"] for k, v in out.items()}
+    assert abs(sum(ws.values()) - 1.0) < 1e-4
+    assert ws["hard"] > 0.25 and ws["easy"] < 0.25    # shares: .25/.5/.25
+    assert out["hard"]["n_docs"] == 100
+    # independent replication of the documented update
+    doms = sorted(out)
+    u = {d: out[d]["n_docs"] / 400.0 for d in doms}
+    mn = min(out[d]["mean_loss"] for d in doms)
+    lam = {d: _qround(out[d]["mean_loss"] - mn, 9) for d in doms}
+    a = dict(u)
+    for _ in range(10):
+        b = {d: a[d] * math.exp(0.5 * lam[d]) for d in doms}
+        z = sum(b[d] for d in doms)
+        a = {d: _qround((1.0 - 0.01) * b[d] / z + 0.01 * u[d], 8)
+             for d in doms}
+    for d in doms:
+        assert ws[d] == _qround(a[d], 6), d
+    # rounds=0: the reference distribution, untouched
+    base = {r["source"]: r["weight"] for r in doremi_weights(
+        df, "source", F.col("loss"), rounds=0).collect()}
+    assert base == {"hard": 0.25, "mid": 0.5, "easy": 0.25}
+
+
+def test_doremi_weights_null_loss_domain_not_boosted(spark):
+    """A domain whose losses are ALL NULL takes lambda = 0 (reference
+    treatment): it stays in the output and can only LOSE share to
+    boosted domains, never crash or vanish."""
+    from pii_extract_base_spark.functions.doremi import doremi_weights
+    rows = ([("a", 10.0)] * 50 + [("b", None)] * 50
+            + [("c", 1.0)] * 100)
+    df = spark.createDataFrame(rows, "source string, loss double")
+    out = {r["source"]: r for r in doremi_weights(
+        df, "source", F.col("loss"), rounds=5).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["b"]["mean_loss"] is None
+    # shares a/b/c = .25/.25/.5; lambda: a=9, b=0 (NULL), c=0 (min)
+    assert out["a"]["weight"] > 0.25          # boosted
+    assert 0.0 < out["b"]["weight"] < 0.25    # reference-treated, cut
+    assert 0.0 < out["c"]["weight"] < 0.5
+
+
+def test_doremi_sample_deterministic_and_budgeted(spark):
+    """doremi_sample keeps ~rate_i of each domain via the md5 kernel:
+    deterministic on re-run, and the boosted domain's kept FRACTION
+    exceeds the cut domain's."""
+    from pii_extract_base_spark.functions.doremi import (
+        doremi_weights, doremi_sample)
+    rows = [(f"u{i}", "hard" if i % 2 else "easy",
+             20.0 if i % 2 else 2.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "url string, source string, "
+                                     "loss double")
+    w = [tuple(r) for r in doremi_weights(
+        df, "source", F.col("loss"), rounds=10).collect()]
+    a = doremi_sample(df, "source", "url", w, budget_frac=0.5)
+    b = doremi_sample(df, "source", "url", w, budget_frac=0.5)
+    ka = {r["url"] for r in a.collect()}
+    assert ka == {r["url"] for r in b.collect()}
+    frac = {s: len([u for u in ka if
+                    (int(u[1:]) % 2 == 1) == (s == "hard")]) / 200.0
+            for s in ("hard", "easy")}
+    assert frac["hard"] > frac["easy"]
+    assert 0.2 < len(ka) / 400.0 <= 0.75    # near the 50% budget
+
+
 def test_quality_retention_keeps_best_not_lowest_id(spark):
     from pii_extract_base_spark.operators.dedup import quality_retention
     docs = spark.createDataFrame(

@@ -97,6 +97,18 @@ def test_ccnet_keep_stage_filters_and_reruns_identically(
     assert a["docs"] == b["docs"] and a["kept"] == b["kept"]
 
 
+def test_doremi_stage_deterministic(spark, monkeypatch):
+    """--doremi 0.5:10:0.5: corpus-fit-LM losses per lang, DoReMi
+    weights, md5-acceptance mixture — filters to roughly the budget
+    and re-runs to the identical count."""
+    argv = ["run_pipeline", "--sf-dir", SF_DIR, "--limit", "300",
+            "--doremi", "0.5:10:0.5"]
+    a = _drive(monkeypatch, argv)
+    b = _drive(monkeypatch, argv)
+    assert 0 < a["docs"] < 300
+    assert a["docs"] == b["docs"] and a["kept"] == b["kept"]
+
+
 def test_split_stage_is_deterministic_and_leakage_safe(spark,
                                                        monkeypatch):
     """--split: group-level split counts are reported, only the
