@@ -2749,7 +2749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_pagerank": q66_pagerank,
         "q67_logreg_quality": q67_logreg_quality,
         "q68_url_canonical": q68_url_canonical,
-        "q70_mixture_sample": q70_mixture_sample,
+        # r5-final: q101 (DoReMi) graded in-window in place of q70 —
+        # the md5-acceptance mixture family stays covered in-window by
+        # q99 (temperature mixture, the same kernel); q70 keeps its
+        # hash check via the judge's out-of-window re-run.
+        "q101_doremi_weights": q101_doremi_weights,
         "q71_bpe_merges": q71_bpe_merges,
         "q74_pq_adc_topk": q74_pq_adc_topk,
         # r5: IVF-PQ composed search (IVFADC) — the production ANN
@@ -2812,7 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_user_sessions": q08_user_sessions,
         "q12_exact_dup_groups": q12_exact_dup_groups,
         "q14_knn_cosine_top5": q14_knn_cosine_top5,
-        "q101_doremi_weights": q101_doremi_weights,
+        "q70_mixture_sample": q70_mixture_sample,
     }
 
 
