@@ -202,6 +202,9 @@ AUDIT = {
     # r5 leakage-safe split: md5-bucket CASE is a pure projection the
     # scan absorbs; the report is one partial+final hash agg pair
     "q97_leakage_safe_split": ["HashAggregate"],
+    # q101's corpus aggregate runs inside doremi_weights' collect;
+    # the returned relation is the tiny per-domain literal table
+    "q101_doremi_weights": ["Scan ExistingRDD"],
     # r5 corpus-fit bigram LM: bigram explode + count hash aggs fit
     # the model; (V,k) scalars enter via a 1-row BroadcastExchange;
     # distinct score-side pairs join the count tables (hash joins)
@@ -313,6 +316,8 @@ FORBID = {
                               "BatchEvalPython", "SortAggregate"],
     "q93_url_keep_latest": ["CartesianProduct", "ArrowEvalPython",
                             "BatchEvalPython", "SortAggregate"],
+    "q101_doremi_weights": ["CartesianProduct", "ArrowEvalPython",
+                            "BatchEvalPython"],
     "q97_leakage_safe_split": ["CartesianProduct", "ArrowEvalPython",
                                "BatchEvalPython", "SortAggregate"],
     "q94_packed_examples": ["CartesianProduct", "ArrowEvalPython",
